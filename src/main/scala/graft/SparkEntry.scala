@@ -2,9 +2,21 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+  /** Flagship: the full extraction pipeline (explode → media join →
+    * salted repartition → typed mapPartitions kernel → reassemble) over
+    * a deterministic synthesized interleaved corpus. Driver smoke-checks
+    * rows > 0.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/tmp/graft_entry_corpus"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "docs"))) {
+      fixtures.CorpusGen.write(spark, dir, fixtures.CorpusGen.Params(nDocs = 150))
+    }
+    pipeline.ExtractionPipeline.extract(
+      spark.read.parquet(s"$dir/docs"),
+      spark.read.parquet(s"$dir/media"),
+      partitions = spark.sparkContext.defaultParallelism)
+  }
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,309 @@
+package graft.fixtures
+
+import java.util.Random
+import scala.collection.mutable.ArrayBuffer
+import graft.kernel.{GlyphFont, PdfText, ZipExplode}
+import graft.model.{Doc, MediaBlob, Span}
+
+/** Deterministic corpus + golden generator (FIXTURES.md §1-2).
+  *
+  * Every fixture is synthesized from a fixed seed; goldens are authored
+  * FROM THE GENERATION PARAMETERS (the generator knows what text it
+  * rendered into each payload), never by running the pipeline on itself
+  * — no circularity. The reference ships zero test data (all test files
+  * are 0-byte stubs, SURVEY.md §5), so this generator is the corpus.
+  *
+  * Doc shape per BASELINE.json input_hint: interleaved spans of
+  * text | html | pdf | png | jpeg | zip; media payloads in a sidecar
+  * `media(media_ref, bytes)` table (object-storage stand-in).
+  */
+object CorpusGen {
+
+  val AllKinds: Seq[String] = Seq("text", "html", "pdf", "png", "jpeg", "zip")
+
+  case class Params(
+      nDocs: Int,
+      seed: Long = 42L,
+      kinds: Seq[String] = AllKinds,
+      /** every k-th doc is a many-span "whale" (skew fixture). */
+      whaleEvery: Int = 97,
+      whaleSpans: Int = 40)
+
+  /** One generated doc: input row, golden output row, media payloads,
+    * and (filename → invoice-bearing text) goldens for the structured
+    * extraction operators.
+    */
+  case class DocFixture(
+      doc: Doc,
+      golden: Doc,
+      media: Seq[MediaBlob],
+      invoices: Seq[GoldenInvoice])
+
+  /** Golden structured-invoice row (known at generation time). */
+  case class GoldenInvoice(
+      filename: String,
+      invoice_number: String,
+      vendor_name: String,
+      street: String,
+      city: String,
+      state: String,
+      postal_code: String,
+      invoice_date: String, // ISO, "" if the doc has no date line
+      grand_total: java.math.BigDecimal,
+      taxes: java.math.BigDecimal,
+      final_total: java.math.BigDecimal)
+
+  private val vocab = Array(
+    "ledger", "batch", "carton", "freight", "pallet", "invoice", "remit",
+    "quarterly", "shipment", "terminal", "harbor", "voucher", "manifest",
+    "customs", "transit", "billing", "account", "warehouse", "courier",
+    "dispatch", "receipt", "container", "liner", "broker", "tariff",
+    "clearance", "dockyard", "payload", "consignment", "waybill")
+
+  private val vendorNames = Array(
+    "Acme Supply Co", "Globex Industrial", "Initech Partners",
+    "Umbrella Logistics", "Stark Fabrication", "Wayne Materials",
+    "Tyrell Imports", "Cyberdyne Tooling")
+
+  private val streets = Array(
+    "12 Main St", "742 Evergreen Terrace", "1 Infinite Loop",
+    "221B Baker St", "30 Rockefeller Plaza", "4 Privet Drive")
+
+  private val cities = Array(
+    ("Springfield", "IL", "62704"), ("Shelbyville", "KY", "40065"),
+    ("Centerville", "OH", "45459"), ("Riverton", "WY", "82501"),
+    ("Fairview", "TX", "75069"), ("Madison", "WI", "53703"))
+
+  def rngFor(seed: Long, idx: Int): Random =
+    new Random(seed * 1000003L + idx.toLong * 0x9E3779B9L)
+
+  def prose(rng: Random, minWords: Int = 8, maxWords: Int = 30): String = {
+    val n = minWords + rng.nextInt(maxWords - minWords + 1)
+    (0 until n).map(_ => vocab(rng.nextInt(vocab.length))).mkString(" ")
+  }
+
+  /** A sentence guaranteed ≥ 25 chars (HtmlStrip keep threshold). */
+  private def paragraph(rng: Random): String = prose(rng, 6, 18) + " end"
+
+  // -------------------------------------------------------------------------
+  // Invoice text + golden fields
+  // -------------------------------------------------------------------------
+
+  /** Date string formats the extraction cascade provably recovers
+    * (DateExtractSpec); day is always ≥ 13 so numeric orders are
+    * unambiguous under the DMY→MDY→YMD cascade.
+    */
+  private def formatDate(rng: Random, d: java.time.LocalDate): String = {
+    val day = d.getDayOfMonth; val mon = d.getMonthValue; val yr = d.getYear
+    val months = Array("Jan", "Feb", "Mar", "Apr", "May", "Jun",
+      "Jul", "Aug", "Sep", "Oct", "Nov", "Dec")
+    rng.nextInt(7) match {
+      case 0 => f"$day%02d/$mon%02d/$yr%04d"
+      case 1 => f"$yr%04d-$mon%02d-$day%02d"
+      case 2 => f"$mon%02d/$day%02d/$yr%04d"
+      case 3 => s"$day ${months(mon - 1)} $yr"
+      case 4 => s"${months(mon - 1)} $day, $yr"
+      case 5 => f"$yr%04d$mon%02d$day%02d"
+      case 6 => f"$day%02d.$mon%02d.${yr % 100}%02d"
+    }
+  }
+
+  private def genDate(rng: Random): java.time.LocalDate = {
+    // mostly past dates; ~8% future (anomaly-flag fixtures)
+    val year = if (rng.nextInt(100) < 8) 2026 else 2020 + rng.nextInt(5)
+    java.time.LocalDate.of(year, 1 + rng.nextInt(12), 13 + rng.nextInt(16))
+  }
+
+  private def money(rng: Random): java.math.BigDecimal =
+    new java.math.BigDecimal(100 + rng.nextInt(999900)).movePointLeft(2)
+
+  /** Invoice text + its golden fields. `filename` is the provenance the
+    * extraction operator will see. Layout A (subtotal first) exhibits
+    * the reference's final_total=subtotal quirk; layout B (total first)
+    * does not — goldens encode whichever applies.
+    */
+  def invoiceText(rng: Random, filename: String): (String, GoldenInvoice) = {
+    val vendor = vendorNames(rng.nextInt(vendorNames.length))
+    val street = streets(rng.nextInt(streets.length))
+    val (city, state, zip) = cities(rng.nextInt(cities.length))
+    val number = f"INV-${10000 + rng.nextInt(90000)}%05d"
+    val hasDate = rng.nextInt(10) > 0
+    val date = genDate(rng)
+    val dateStr = formatDate(rng, date)
+    val sub = money(rng)
+    val tax = sub.multiply(new java.math.BigDecimal("0.10"))
+      .setScale(2, java.math.RoundingMode.HALF_UP)
+    val tot = sub.add(tax)
+    val layoutA = rng.nextBoolean()
+    def m(v: java.math.BigDecimal) = f"$$${v.toPlainString}%s"
+    val totalLines =
+      if (layoutA) Seq(s"Subtotal: ${m(sub)}", s"Tax: ${m(tax)}", s"Total: ${m(tot)}")
+      else Seq(s"Total: ${m(tot)}", s"Subtotal: ${m(sub)}", s"Tax: ${m(tax)}")
+    val lines = Seq(vendor, street, s"$city, $state $zip",
+      s"Invoice Number: $number") ++
+      (if (hasDate) Seq(s"Invoice Date: $dateStr") else Nil) ++
+      totalLines ++ Seq("Thank you for your business")
+    val golden = GoldenInvoice(
+      filename = filename,
+      invoice_number = number,
+      vendor_name = vendor,
+      street = street, city = city, state = state, postal_code = zip,
+      invoice_date = if (hasDate) date.toString else "",
+      grand_total = sub,
+      taxes = tax,
+      // the reference's `total` regex finds "Subtotal" first in layout A
+      final_total = if (layoutA) sub else tot)
+    (lines.mkString("\n"), golden)
+  }
+
+  /** Uppercase charset-safe invoice lines for rasterized payloads. */
+  def ocrInvoiceLines(rng: Random, filename: String): (Seq[String], GoldenInvoice) = {
+    val (text, golden) = invoiceText(rng, filename)
+    (text.split("\n").toSeq.map(GlyphFont.sanitize), golden.copy(
+      vendor_name = GlyphFont.sanitize(golden.vendor_name),
+      street = GlyphFont.sanitize(golden.street),
+      city = GlyphFont.sanitize(golden.city)))
+  }
+
+  // -------------------------------------------------------------------------
+  // HTML page + golden main text
+  // -------------------------------------------------------------------------
+
+  def htmlPage(rng: Random): (String, String) = {
+    val paras = (0 until 1 + rng.nextInt(3)).map(_ => paragraph(rng))
+    val navLinks = (0 until 3 + rng.nextInt(4))
+      .map(i => s"""<a href="/p$i">${vocab(rng.nextInt(vocab.length))} link</a>""")
+      .mkString(" ")
+    val html =
+      s"""<html><head><title>${vocab(rng.nextInt(vocab.length))}</title>
+         |<style>body{margin:0}</style><script>var t=${rng.nextInt(100)};</script></head>
+         |<body><header><h1>${vocab(rng.nextInt(vocab.length))} portal</h1>
+         |<nav>$navLinks</nav></header>
+         |<article>${paras.map(p => s"<p>$p</p>").mkString("\n")}</article>
+         |<aside><ul><li><a href="/r1">related one</a></li><li><a href="/r2">related two</a></li></ul></aside>
+         |<footer>copyright 2024 ${vocab(rng.nextInt(vocab.length))} inc <a href="/privacy">privacy</a></footer>
+         |</body></html>""".stripMargin
+    (html, paras.mkString("\n"))
+  }
+
+  // -------------------------------------------------------------------------
+  // Doc assembly
+  // -------------------------------------------------------------------------
+
+  def genDoc(idx: Int, p: Params): DocFixture = {
+    val rng = rngFor(p.seed, idx)
+    val docId = f"doc-$idx%09d"
+    val isWhale = p.whaleEvery > 0 && idx > 0 && idx % p.whaleEvery == 0
+    val nSpans = if (isWhale) p.whaleSpans else 1 + rng.nextInt(6)
+    val spans = ArrayBuffer.empty[Span]
+    val goldenSubs = ArrayBuffer.empty[(String, String, String)] // kind,text,ref
+    val media = ArrayBuffer.empty[MediaBlob]
+    val invoices = ArrayBuffer.empty[GoldenInvoice]
+
+    (0 until nSpans).foreach { i =>
+      val ref = s"m/$docId/$i"
+      val kind = p.kinds(rng.nextInt(p.kinds.length))
+      kind match {
+        case "text" =>
+          val content = if (rng.nextInt(100) < 30) {
+            val (t, g) = invoiceText(rng, s"$docId:$i")
+            invoices += g; t
+          } else prose(rng)
+          spans += Span("text", content, "", i)
+          goldenSubs += (("text", content, ""))
+        case "html" =>
+          val (html, main) = htmlPage(rng)
+          spans += Span("html", html, "", i)
+          goldenSubs += (("text", main, ""))
+        case "pdf" =>
+          val nPages = 1 + rng.nextInt(3)
+          val pages = (0 until nPages).map { pi =>
+            if (rng.nextInt(100) < 25) {
+              // rasterized page → OCR-inference fallback path
+              val (lines, g) = ocrInvoiceLines(rng, s"$ref#page${pi + 1}")
+              invoices += g
+              val skew = (rng.nextInt(5) - 2) * 1.0
+              // proven-exact OCR envelope: scale 2 unskewed, scale 3 skewed
+              val (gray, w, h) = GlyphFont.render(lines,
+                scale = if (skew == 0.0) 2 else 3,
+                skewDeg = skew, noise = rng.nextInt(15), rng = rng)
+              (PdfText.ImagePageSpec(gray, w, h), lines.mkString("\n"))
+            } else if (rng.nextInt(100) < 40) {
+              val (t, g) = invoiceText(rng, s"$ref#page${pi + 1}")
+              invoices += g
+              (PdfText.TextPageSpec(t.split("\n").toSeq), t)
+            } else {
+              val t = prose(rng) + "\n" + prose(rng)
+              (PdfText.TextPageSpec(t.split("\n").toSeq), t)
+            }
+          }
+          media += MediaBlob(ref, PdfText.build(pages.map(_._1)))
+          spans += Span("pdf", "", ref, i)
+          pages.zipWithIndex.foreach { case ((_, gText), pi) =>
+            goldenSubs += (("text", gText, s"$ref#page${pi + 1}"))
+          }
+        case "png" | "jpeg" =>
+          val (lines, g) = ocrInvoiceLines(rng, ref)
+          invoices += g
+          val skew = (rng.nextInt(5) - 2) * 1.0
+          val (gray, w, h) = GlyphFont.render(lines,
+            scale = if (skew == 0.0) 2 else 3,
+            skewDeg = skew, noise = rng.nextInt(15), rng = rng)
+          val bytes = if (kind == "png") GlyphFont.toPng(gray, w, h)
+            else GlyphFont.toJpeg(gray, w, h)
+          media += MediaBlob(ref, bytes)
+          spans += Span(kind, "", ref, i)
+          goldenSubs += (("text", lines.mkString("\n"), ref))
+        case "zip" =>
+          val nEntries = 1 + rng.nextInt(2)
+          val entries = (0 until nEntries).map { ei =>
+            if (rng.nextBoolean()) {
+              val t = prose(rng)
+              val name = s"doc$ei.pdf"
+              (name, PdfText.build(Seq(PdfText.TextPageSpec(t.split("\n").toSeq))),
+                Seq((s"$ref!$name#page1", t)))
+            } else {
+              val (lines, g) = ocrInvoiceLines(rng, s"$ref!img$ei.png")
+              invoices += g
+              val (gray, w, h) = GlyphFont.render(lines, scale = 2)
+              val name = s"img$ei.png"
+              (name, GlyphFont.toPng(gray, w, h),
+                Seq((s"$ref!$name", lines.mkString("\n"))))
+            }
+          }
+          media += MediaBlob(ref, ZipExplode.build(entries.map(e => (e._1, e._2))))
+          spans += Span("zip", "", ref, i)
+          entries.foreach(_._3.foreach { case (gRef, gText) =>
+            goldenSubs += (("text", gText, gRef))
+          })
+      }
+    }
+    val golden = Doc(docId, goldenSubs.zipWithIndex.map {
+      case ((k, t, r), o) => Span(k, t, r, o)
+    }.toSeq)
+    DocFixture(Doc(docId, spans.toSeq), golden, media.toSeq, invoices.toSeq)
+  }
+
+  def generate(p: Params): Seq[DocFixture] =
+    (0 until p.nDocs).map(genDoc(_, p))
+
+  /** Write docs/media/golden_spans/golden_invoices parquet under dir. */
+  def write(spark: org.apache.spark.sql.SparkSession, dir: String, p: Params): Unit = {
+    import spark.implicits._
+    val fixtures = generate(p)
+    spark.createDataset(fixtures.map(_.doc)).toDF()
+      .repartition(4).write.mode("overwrite").parquet(s"$dir/docs")
+    spark.createDataset(fixtures.flatMap(_.media)).toDF()
+      .repartition(4).write.mode("overwrite").parquet(s"$dir/media")
+    spark.createDataset(fixtures.map(_.golden)).toDF()
+      .write.mode("overwrite").parquet(s"$dir/golden_spans")
+    spark.createDataset(fixtures.flatMap(_.invoices).map(g =>
+      (g.filename, g.invoice_number, g.vendor_name, g.street, g.city,
+        g.state, g.postal_code, g.invoice_date,
+        BigDecimal(g.grand_total), BigDecimal(g.taxes), BigDecimal(g.final_total))))
+      .toDF("filename", "invoice_number", "vendor_name", "street", "city",
+        "state", "postal_code", "invoice_date", "grand_total", "taxes",
+        "final_total")
+      .write.mode("overwrite").parquet(s"$dir/golden_invoices")
+  }
+}

@@ -1,0 +1,140 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Idempotent chunked commits + lineage manifest — the engine's
+  * Iceberg-semantics stand-in (no Iceberg runtime jar exists in this
+  * environment, SURVEY.md env facts; snapshots/commits are emulated
+  * over Parquet + an atomic manifest convention we own).
+  *
+  * The input is deterministically split into `chunks` by
+  * pmod(xxhash64(doc_id), chunks). Each chunk is extracted and written
+  * to `out/data/chunk=<k>/`, then a manifest record is written via
+  * tmp-file + atomic rename to `out/_manifest/chunk-<k>.json`. A killed
+  * run resumes by skipping manifested chunks — the cache-hit
+  * anti-join semantics of the reference's Redis memoization (reference
+  * app/utils/ocr_engine.py:123-135; SURVEY.md J3) at commit granularity:
+  * input LEFT ANTI JOIN committed ON chunk(doc_id).
+  *
+  * Each manifest line carries lineage: run id, source snapshot, chunk,
+  * row/span/error counts, wall time (north rule: per-partition lineage
+  * + metrics).
+  */
+object Commit {
+
+  final case class ChunkManifest(
+      runId: String,
+      chunk: Int,
+      sourceSnapshot: String,
+      rowCount: Long,
+      spanCount: Long,
+      errorCount: Long,
+      wallMillis: Long)
+
+  final case class RunSummary(
+      committed: Seq[ChunkManifest],
+      skipped: Seq[Int])
+
+  def manifestDir(outDir: String): Path = Paths.get(outDir, "_manifest")
+
+  /** Chunks already committed (resume set). */
+  def committedChunks(outDir: String): Map[Int, ChunkManifest] = {
+    val dir = manifestDir(outDir)
+    if (!Files.isDirectory(dir)) return Map.empty
+    Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.matches("chunk-\\d+\\.json"))
+      .flatMap(p => parseManifest(Files.readString(p)))
+      .map(m => m.chunk -> m)
+      .toMap
+  }
+
+  /** Run the extraction chunk-by-chunk with idempotent commits.
+    *
+    * @param failAfterChunks test hook — throw after committing this many
+    *        chunks (simulates a killed run for the resume test)
+    */
+  def run(
+      spark: SparkSession,
+      docs: DataFrame,
+      media: DataFrame,
+      outDir: String,
+      runId: String,
+      chunks: Int = 4,
+      partitions: Int = 32,
+      failAfterChunks: Int = Int.MaxValue): RunSummary = {
+    require(chunks > 0)
+    Files.createDirectories(manifestDir(outDir))
+    val sourceSnapshot = snapshotId(docs)
+    val already = committedChunks(outDir)
+    val committed = scala.collection.mutable.ArrayBuffer.empty[ChunkManifest]
+    var done = 0
+    (0 until chunks).foreach { k =>
+      if (already.contains(k)) ()
+      else {
+        if (done >= failAfterChunks)
+          throw new RuntimeException(s"injected failure before chunk $k")
+        val t0 = System.nanoTime()
+        val chunkDocs = docs.filter(
+          pmod(xxhash64(col("doc_id")), lit(chunks)) === lit(k))
+        val out = ExtractionPipeline.extract(chunkDocs, media, partitions)
+        out.write.mode("overwrite").parquet(s"$outDir/data/chunk=$k")
+        // counts from the written files (what actually committed)
+        val written = spark.read.parquet(s"$outDir/data/chunk=$k")
+        val stats = written.select(
+          count(lit(1)).as("rows"),
+          coalesce(sum(size(col("spans"))), lit(0L)).as("spans"),
+          coalesce(sum(size(filter(col("spans"), s => s("kind") === lit("error")))),
+            lit(0L)).as("errors")).head()
+        val m = ChunkManifest(runId, k, sourceSnapshot,
+          stats.getLong(0), stats.getLong(1), stats.getLong(2),
+          (System.nanoTime() - t0) / 1000000L)
+        writeManifest(outDir, m)
+        committed += m
+        done += 1
+      }
+    }
+    RunSummary(committed.toSeq, already.keys.toSeq.sorted)
+  }
+
+  /** Read the committed output table (all chunks). */
+  def readOutput(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(s"$outDir/data")
+
+  /** Source snapshot id: stable fingerprint of the input's files/shape —
+    * recorded in lineage so a manifest can be traced to its input.
+    */
+  def snapshotId(docs: DataFrame): String = {
+    val files = docs.inputFiles.sorted
+    val h = java.security.MessageDigest.getInstance("MD5")
+    files.foreach(f => h.update(f.getBytes("UTF-8")))
+    if (files.isEmpty) h.update(docs.schema.catalogString.getBytes("UTF-8"))
+    h.digest().map("%02x".format(_)).mkString.take(16)
+  }
+
+  private def writeManifest(outDir: String, m: ChunkManifest): Unit = {
+    val json =
+      s"""{"runId":"${m.runId}","chunk":${m.chunk},"sourceSnapshot":"${m.sourceSnapshot}",""" +
+        s""""rowCount":${m.rowCount},"spanCount":${m.spanCount},""" +
+        s""""errorCount":${m.errorCount},"wallMillis":${m.wallMillis}}"""
+    val dir = manifestDir(outDir)
+    val tmp = dir.resolve(s".chunk-${m.chunk}.json.tmp")
+    Files.writeString(tmp, json)
+    Files.move(tmp, dir.resolve(s"chunk-${m.chunk}.json"),
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private val manifestPattern =
+    ("""\{"runId":"([^"]*)","chunk":(\d+),"sourceSnapshot":"([^"]*)",""" +
+      """"rowCount":(\d+),"spanCount":(\d+),"errorCount":(\d+),""" +
+      """"wallMillis":(\d+)\}""").r
+
+  def parseManifest(json: String): Option[ChunkManifest] = json.trim match {
+    case manifestPattern(runId, chunk, snap, rows, spans, errs, wall) =>
+      Some(ChunkManifest(runId, chunk.toInt, snap, rows.toLong, spans.toLong,
+        errs.toLong, wall.toLong))
+    case _ => None
+  }
+}

@@ -1,0 +1,95 @@
+package graft.pipeline
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+import graft.fixtures.CorpusGen
+
+/** End-to-end golden test: the BASELINE.json per-row invariant —
+  * span-sequence equality (kind, text, media_ref, order) verified by
+  * anti-join against goldens authored independently by CorpusGen.
+  */
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft_corpus").toString
+    CorpusGen.write(spark, d, CorpusGen.Params(nDocs = 200))
+    d
+  }
+
+  private def docs = spark.read.parquet(s"$dir/docs")
+  private def media = spark.read.parquet(s"$dir/media")
+  private def golden = spark.read.parquet(s"$dir/golden_spans")
+
+  /** rows of `a` whose spans differ from `b`'s (same doc_id). */
+  private def mismatches(a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame): Long = {
+    a.select(col("doc_id"), col("spans").as("a_spans"))
+      .join(b.select(col("doc_id"), col("spans").as("b_spans")),
+        Seq("doc_id"), "full_outer")
+      .where(not(col("a_spans") <=> col("b_spans")))
+      .count()
+  }
+
+  test("extraction output matches golden spans row-by-row (anti-join empty)") {
+    val out = ExtractionPipeline.extract(docs, media, partitions = 8)
+    assert(out.count() == golden.count())
+    assert(mismatches(out, golden) == 0L)
+  }
+
+  test("no error spans on the fixture corpus") {
+    val out = ExtractionPipeline.extract(docs, media, partitions = 8)
+    val errs = out.select(explode(col("spans")).as("s"))
+      .where(col("s.kind") === "error").count()
+    assert(errs == 0L)
+  }
+
+  test("chunked commit resumes after a kill without duplicates") {
+    val outDir = Files.createTempDirectory("graft_out").toString
+    val runId = "run-test-1"
+    // first run dies after 2 of 4 chunks
+    intercept[RuntimeException] {
+      Commit.run(spark, docs, media, outDir, runId, chunks = 4,
+        partitions = 8, failAfterChunks = 2)
+    }
+    val partial = Commit.committedChunks(outDir)
+    assert(partial.size == 2)
+    // resume: only the remaining chunks run
+    val summary = Commit.run(spark, docs, media, outDir, "run-test-2",
+      chunks = 4, partitions = 8)
+    assert(summary.skipped.toSet == partial.keySet)
+    assert(summary.committed.map(_.chunk).toSet ==
+      (0 until 4).toSet -- partial.keySet)
+    // final output identical to the golden — no dups, no gaps
+    val out = Commit.readOutput(spark, outDir)
+    assert(out.count() == golden.count())
+    assert(mismatches(out, golden) == 0L)
+    // lineage counts match the data
+    val all = Commit.committedChunks(outDir).values
+    assert(all.map(_.rowCount).sum == golden.count())
+    assert(all.map(_.errorCount).sum == 0L)
+    // rerunning a completed output is a no-op (full idempotence)
+    val again = Commit.run(spark, docs, media, outDir, "run-test-3",
+      chunks = 4, partitions = 8)
+    assert(again.committed.isEmpty && again.skipped.size == 4)
+  }
+
+  test("poison media payload yields an error span, not a crashed job") {
+    import spark.implicits._
+    val badDocs = Seq(
+      graft.model.Doc("poison-1", Seq(graft.model.Span("pdf", "", "m/poison/0", 0))),
+      graft.model.Doc("poison-2", Seq(graft.model.Span("text", "fine", "", 0))))
+    val badMedia = Seq(graft.model.MediaBlob("m/poison/0",
+      Array[Byte](1, 2, 3, 4, 5)))
+    val out = ExtractionPipeline.extract(
+      spark.createDataset(badDocs).toDF(), spark.createDataset(badMedia).toDF(),
+      partitions = 2)
+    assert(out.count() == 2)
+    val kinds = out.where(col("doc_id") === "poison-1")
+      .select(explode(col("spans")).as("s")).select(col("s.kind"))
+      .as[String].collect().toSeq
+    assert(kinds == Seq("error"))
+  }
+}
