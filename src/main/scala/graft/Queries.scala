@@ -1,0 +1,463 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.exprs.{InvoiceExprs => IE, ValidationExprs => VE}
+import graft.ops.{DedupOps, SimilarityOps, TextOps}
+
+/** The driver-contract operator queries (SURVEY.md §5.5): each entry is
+  * one implemented operator exercised over the read-only
+  * /root/testdata tables, with a DuckDB oracle twin in [[oracles]].
+  *
+  * Determinism rules for oracle parity (both engines must hash-match):
+  *  - ratios/averages are integer-scaled (floor(a*K / b)) — no FP in
+  *    comparable columns except round(x, 6) cosine;
+  *  - money flows as integer cents or DECIMAL(18,2), never double;
+  *  - strings built with printf-style formats supported identically
+  *    (%d, %02d, %.2f on exact values);
+  *  - multi-valued results are '|'-joined strings (concat_ws skips
+  *    NULLs identically in both engines).
+  */
+object Queries {
+
+  private val AsOf = "2025-04-18"
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // ---------------------------------------------------------------------
+  // Spark side
+  // ---------------------------------------------------------------------
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // F1 — invoice number regex cascade
+    "q01_invoice_number" -> ((s, dir) => {
+      val text = when(col("o_orderkey") % 10 =!= 0,
+        concat(lit("Invoice Number: INV-"),
+          lpad(col("o_orderkey").cast("string"), 7, "0")))
+        .otherwise(lit("no number here"))
+      t(s, dir, "orders").select(col("o_orderkey"),
+        IE.invoiceNumber(text).as("inv_no"))
+    }),
+
+    // F2 — totals extraction incl. the Subtotal/Total quirk
+    "q02_totals_quirk" -> ((s, dir) => {
+      val k = col("o_orderkey")
+      val text = concat(
+        lit("Subtotal: $"), format_string("%d.%02d", (k % 9000) + 100, k % 100),
+        lit("\nTax: $"), format_string("%d.%02d", (k % 900) + 10, (k * 7) % 100),
+        lit("\nTotal: $"), format_string("%d.%02d", (k % 9900) + 110, (k * 3) % 100))
+      t(s, dir, "orders").select(col("o_orderkey"),
+        IE.grandTotal(text).as("grand_total"),
+        IE.taxes(text).as("tax_amt"),
+        IE.finalTotal(text).as("final_total"))
+    }),
+
+    // F3 — decimal parsing with junk stripping
+    "q03_parse_decimal" -> ((s, dir) => {
+      val k = col("c_custkey")
+      val raw = concat(
+        when(k % 5 === 0, "-").otherwise(""),
+        lit("USD $"), format_string("%d.%02d", (k % 100000) + 1, k % 100),
+        lit(" net"))
+      t(s, dir, "customer").select(col("c_custkey"),
+        IE.parseDecimal(raw).as("amount"))
+    }),
+
+    // F4/F5 — vendor + address line extraction
+    "q04_vendor_address" -> ((s, dir) => {
+      val k = col("c_custkey")
+      val line3 = when(k % 11 === 0, lit("PO BOX 7")).otherwise(
+        concat(lit("Springfield, IL "),
+          lpad(((k % 89999) + 10000).cast("string"), 5, "0")))
+      val text = concat(col("c_name"), lit("\n"),
+        when(k % 7 === 0, "").otherwise("12 Main St"), lit("\n"), line3)
+      t(s, dir, "customer").select(k,
+        IE.vendorName(text).as("vendor_name"),
+        IE.street(text).as("street"),
+        IE.city(text).as("city"),
+        IE.state(text).as("state"),
+        IE.postalCode(text).as("postal_code"))
+    }),
+
+    // F6 (SQL-expressible subset) — ISO + 8-digit date extraction
+    "q05_date_sql" -> ((s, dir) => {
+      val k = col("o_orderkey")
+      val text = when(k % 3 === 0,
+        concat(lit("shipped on "), date_format(col("o_orderdate"), "yyyy-MM-dd")))
+        .when(k % 3 === 1,
+          concat(lit("ref "), date_format(col("o_orderdate"), "yyyyMMdd")))
+        .otherwise(lit("no date"))
+      t(s, dir, "orders").select(k, IE.dateSqlSubset(text).as("extracted_date"))
+    }),
+
+    // S2/S3/P1 — MIME mapping + allowed filter
+    "q06_mime_allowed" -> ((s, dir) => {
+      val exts = Seq(".pdf", ".jpg", ".png", ".zip", ".txt")
+      val fname = concat(lower(regexp_replace(col("p_name"), " ", "_")),
+        element_at(array(exts.map(lit): _*),
+          (col("p_partkey") % 5 + 1).cast("int")))
+      val mime = IE.mimeFromExtension(fname)
+      t(s, dir, "part").select(col("p_partkey"), mime.as("mime"),
+        IE.isAllowedMime(mime).cast("int").as("allowed"))
+    }),
+
+    // S4 — size-cap enforcement with error column
+    "q07_size_cap" -> ((s, dir) =>
+      t(s, dir, "events").select(col("event_id"),
+        length(col("props")).as("content_len"),
+        (length(col("props")) <= 9).cast("int").as("ok"),
+        when(length(col("props")) > 9, "File size exceeds limit").as("err"))),
+
+    // V1-V8 — validation predicate flags (messages engine tested vs
+    // golden_invoices in sbt tests; flags here for cross-engine parity)
+    "q08_warnings" -> ((s, dir) => {
+      val k = col("o_orderkey")
+      val cents = round(col("o_totalprice") * 100).cast("long")
+      val num = when(k % 7 === 0, lit(null).cast("string"))
+        .when(k % 13 === 0, lit("BAD!"))
+        .otherwise(concat(lit("INV-"), lpad(k.cast("string"), 7, "0")))
+      val vendorName = when(k % 5 === 0, "").otherwise("Acme Supply Co")
+      val date = when(k % 4 === 0, lit(null).cast("date"))
+        .otherwise(to_date(col("o_orderdate")))
+      val taxesC = floor(cents / 10).cast("long")
+      val finalC = cents + taxesC + when(k % 6 === 0, 2L).otherwise(0L)
+      val pages = when(k % 9 === 0, 0).otherwise(1)
+      t(s, dir, "orders").select(k,
+        (num.isNull || trim(num) === "").cast("int").as("w_num_missing"),
+        (num.isNotNull && trim(num) =!= "" && !num.rlike("^[A-Za-z0-9-]{5,}$"))
+          .cast("int").as("w_num_format"),
+        (vendorName === "").cast("int").as("w_vendor_missing"),
+        date.isNull.cast("int").as("w_date_missing"),
+        (date.isNotNull && date > lit(AsOf).cast("date")).cast("int").as("w_date_future"),
+        (abs(cents + taxesC - finalC) > 1).cast("int").as("w_totals_mismatch"),
+        (pages < 1).cast("int").as("w_pages"))
+    }),
+
+    // P4 — anomaly flags with lineitem-count join
+    "q09_anomaly_flags" -> ((s, dir) => {
+      val items = t(s, dir, "lineitem").groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_items"))
+      val o = t(s, dir, "orders")
+      val joined = o.join(items, o("o_orderkey") === items("l_orderkey"), "left")
+        .select(col("o_orderkey"),
+          coalesce(col("n_items"), lit(0L)).as("n_items"),
+          VE.anomalyFlags(to_date(col("o_orderdate")), lit(AsOf).cast("date"),
+            col("o_totalprice"), coalesce(col("n_items"), lit(0L))).as("flags"))
+      joined.filter(col("flags") =!= "")
+    }),
+
+    // A1 — per-invoice item rollup (integer cents)
+    "q10_item_rollup" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.groupBy(col("l_orderkey")).agg(
+        sum(col("l_quantity").cast("long")).as("total_quantity"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("total_cents"))
+        .select(col("l_orderkey"), col("total_quantity"), col("total_cents"),
+          when(col("total_quantity") > 0,
+            floor(col("total_cents") / col("total_quantity")).cast("long"))
+            .otherwise(0L).as("avg_unit_cents"))
+    }),
+
+    // A2 — address concat skipping empties, reference field order
+    "q11_address_concat" -> ((s, dir) => {
+      val k = col("c_custkey")
+      val city = when(k % 3 === 0, "").otherwise("Springfield")
+      val state = when(k % 5 === 0, "").otherwise("IL")
+      val postal = lpad(((k % 89999) + 10000).cast("string"), 5, "0")
+      t(s, dir, "customer").select(k,
+        concat_ws(", ", nullif(lit("12 Main St"), lit("")), nullif(city, lit("")),
+          nullif(state, lit("")), nullif(postal, lit("")), nullif(lit(""), lit("")))
+          .as("address"))
+    }),
+
+    // J1/J2 — warnings lookup join (broadcast small build side)
+    "q12_warnings_join" -> ((s, dir) => {
+      val warn = t(s, dir, "customer")
+        .select(col("c_custkey").as("key"), (col("c_custkey") % 4).as("warn_cnt"))
+      t(s, dir, "orders")
+        .join(broadcast(warn), col("o_custkey") === col("key"), "left")
+        .select(col("o_orderkey"), coalesce(col("warn_cnt"), lit(-1L)).as("warn_cnt"))
+    }),
+
+    // J3 — resume anti-join (cache-hit semantics)
+    "q13_resume_antijoin" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"))
+      t(s, dir, "orders").join(li, col("o_orderkey") === col("l_orderkey"),
+        "left_anti").select(col("o_orderkey"))
+    }),
+
+    // A3 — report counts
+    "q14_counts" -> ((s, dir) =>
+      t(s, dir, "orders").agg(
+        count(lit(1)).as("total_invoices"),
+        sum(when(col("o_totalprice") > 10000, 1L).otherwise(0L)).as("flagged"))),
+
+    // F19 — md5 cache key
+    "q15_md5_cachekey" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_custkey"),
+        md5(col("c_name")).as("cache_key"))),
+
+    // F10 — key/value split on first ':'
+    "q16_kv_split" -> ((s, dir) =>
+      t(s, dir, "events").select(col("event_id"),
+        call_function("split_part", col("props"), lit(":"), lit(1)).as("kv_key"),
+        call_function("split_part", col("props"), lit(":"), lit(2)).as("kv_value"))),
+
+    // S8 — fixed 12-column export projection with %.2f money
+    "q17_export_rows" -> ((s, dir) => {
+      val k = col("o_orderkey")
+      val cents = round(col("o_totalprice") * 100).cast("long")
+      val taxesC = floor(cents / 10).cast("long")
+      def moneyStr(c: org.apache.spark.sql.Column) =
+        format_string("%d.%02d", floor(c / 100).cast("long"), c % 100)
+      t(s, dir, "orders").filter(k % 50 === 0).select(
+        concat(lit("order_"), k.cast("string"), lit(".pdf")).as("filename"),
+        concat(lit("INV-"), lpad(k.cast("string"), 7, "0")).as("invoice_number"),
+        lit("Acme Supply Co").as("vendor_name"),
+        lit("12 Main St, Springfield, IL, 62704").as("address"),
+        to_date(col("o_orderdate")).as("invoice_date"),
+        moneyStr(cents).as("grand_total"),
+        moneyStr(taxesC).as("taxes"),
+        moneyStr(cents + taxesC).as("final_total"),
+        (k % 7 + 1).as("quantity"),
+        moneyStr(floor(cents / (k % 7 + 1)).cast("long")).as("unit_price"),
+        moneyStr(cents).as("total"),
+        lit(1).as("pages"))
+    }),
+
+    // dedup: exact hash-groupBy
+    "q18_dedup_exact" -> ((s, dir) =>
+      DedupOps.exactDupGroups(t(s, dir, "documents"), "doc_id", "text")),
+
+    // text analysis: token counts + quality signals
+    "q19_token_quality" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.avgWordLenX100(col("text")).as("avg_word_len_x100"),
+        TextOps.punctRatioX1000(col("text")).as("punct_x1000"),
+        TextOps.digitRatioX1000(col("text")).as("digit_x1000"),
+        TextOps.substrCount(col("text"), "the").as("the_count"))),
+
+    // language-ID heuristic
+    "q20_lang_id" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextOps.langId(col("text")).as("lang_guess"))),
+
+    // document fingerprinting
+    "q21_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fp_head"),
+        md5(col("text")).as("fp_full"))),
+
+    // n-gram Jaccard between adjacent docs
+    "q22_ngram_jaccard" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val a = d.select(col("doc_id").as("id_a"), col("text").as("text_a"))
+      val b = d.select((col("doc_id") - 1).as("id_a"), col("text").as("text_b"))
+      a.join(b, Seq("id_a")).select(col("id_a"),
+        TextOps.ngramJaccardX1M(col("text_a"), col("text_b"), 3).as("jaccard_x1m"))
+    }),
+
+    // similarity search: brute-force cosine top-k
+    "q23_cosine_topk" -> ((s, dir) =>
+      SimilarityOps.bruteForceTopK(t(s, dir, "embeddings"), "vec_id",
+        "embedding", queryId = 0L, k = 10)),
+
+    // dedup: MinHash+LSH near-dup pairs (no SQL oracle: xxhash64 is
+    // engine-specific; rows-only check on a corpus with planted dups)
+    "q24_minhash_lsh" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .filter(col("doc_id") < 200)
+      val planted = d.unionByName(
+        d.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      DedupOps.minhashLshPairs(planted, "doc_id", "text",
+        k = 32, bands = 8, thresholdX1M = 900000L)
+    }),
+
+    // dedup: SimHash + hamming distance to the next doc (rows-only)
+    "q25_simhash" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), DedupOps.simhash64(col("text")).as("simhash"))
+      val nxt = d.select((col("doc_id") - 1).as("doc_id"),
+        col("simhash").as("next_simhash"))
+      d.join(nxt, Seq("doc_id"))
+        .select(col("doc_id"), col("simhash"),
+          DedupOps.hamming64(col("simhash"), col("next_simhash")).as("hamming_next"))
+    }),
+
+    // similarity: LSH-bucketed ANN (scale path; rows-only)
+    "q26_lsh_topk" -> ((s, dir) =>
+      SimilarityOps.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        queryId = 0L, k = 10, bits = 8))
+  )
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracle twins
+  // ---------------------------------------------------------------------
+
+  val oracles: Map[String, String] = Map(
+    "q01_invoice_number" ->
+      """SELECT o_orderkey, NULLIF(regexp_extract(CASE WHEN o_orderkey % 10 <> 0 THEN 'Invoice Number: INV-' || lpad(CAST(o_orderkey AS VARCHAR), 7, '0') ELSE 'no number here' END, '(?i)invoice\s*number?[:\s]*([A-Za-z0-9-]{5,})', 1), '') AS inv_no FROM orders""",
+
+    "q02_totals_quirk" -> {
+      val text = "'Subtotal: $' || printf('%d.%02d', (o_orderkey % 9000) + 100, o_orderkey % 100) || chr(10) || 'Tax: $' || printf('%d.%02d', (o_orderkey % 900) + 10, (o_orderkey * 7) % 100) || chr(10) || 'Total: $' || printf('%d.%02d', (o_orderkey % 9900) + 110, (o_orderkey * 3) % 100)"
+      s"""SELECT o_orderkey,
+          TRY_CAST(replace(NULLIF(regexp_extract($text, '(?i)subtotal[:\\s]*\\$$?([0-9,]+\\.[0-9]{2})', 1), ''), ',', '') AS DECIMAL(18,2)) AS grand_total,
+          TRY_CAST(replace(NULLIF(regexp_extract($text, '(?i)tax[:\\s]*\\$$?([0-9,]+\\.[0-9]{2})', 1), ''), ',', '') AS DECIMAL(18,2)) AS tax_amt,
+          TRY_CAST(replace(NULLIF(regexp_extract($text, '(?i)total[:\\s]*\\$$?([0-9,]+\\.[0-9]{2})', 1), ''), ',', '') AS DECIMAL(18,2)) AS final_total
+          FROM orders"""
+    },
+
+    "q03_parse_decimal" ->
+      """SELECT c_custkey, TRY_CAST(NULLIF(regexp_replace(CASE WHEN c_custkey % 5 = 0 THEN '-' ELSE '' END || 'USD $' || printf('%d.%02d', (c_custkey % 100000) + 1, c_custkey % 100) || ' net', '[^0-9.-]', '', 'g'), '') AS DECIMAL(18,2)) AS amount FROM customer""",
+
+    "q04_vendor_address" -> {
+      val text = "c_name || chr(10) || (CASE WHEN c_custkey % 7 = 0 THEN '' ELSE '12 Main St' END) || chr(10) || (CASE WHEN c_custkey % 11 = 0 THEN 'PO BOX 7' ELSE 'Springfield, IL ' || lpad(CAST((c_custkey % 89999) + 10000 AS VARCHAR), 5, '0') END)"
+      s"""SELECT c_custkey,
+          split_part($text, chr(10), 1) AS vendor_name,
+          split_part($text, chr(10), 2) AS street,
+          trim(regexp_extract(split_part($text, chr(10), 3), '([A-Za-z\\s]+),\\s*([A-Z]{2})', 1)) AS city,
+          regexp_extract(split_part($text, chr(10), 3), '([A-Za-z\\s]+),\\s*([A-Z]{2})', 2) AS state,
+          regexp_extract(split_part($text, chr(10), 3), '\\b\\d{5}(?:-\\d{4})?\\b', 0) AS postal_code
+          FROM customer"""
+    },
+
+    "q05_date_sql" -> {
+      val text = "CASE WHEN o_orderkey % 3 = 0 THEN 'shipped on ' || strftime(o_orderdate, '%Y-%m-%d') WHEN o_orderkey % 3 = 1 THEN 'ref ' || strftime(o_orderdate, '%Y%m%d') ELSE 'no date' END"
+      s"""SELECT o_orderkey, COALESCE(
+          TRY_CAST(strptime(NULLIF(regexp_extract($text, '\\b(\\d{4}-\\d{2}-\\d{2})\\b', 1), ''), '%Y-%m-%d') AS DATE),
+          TRY_CAST(strptime(NULLIF(regexp_extract($text, '\\b(\\d{8})\\b', 1), ''), '%Y%m%d') AS DATE)) AS extracted_date
+          FROM orders"""
+    },
+
+    "q06_mime_allowed" -> {
+      val fname = "lower(replace(p_name, ' ', '_')) || (CASE p_partkey % 5 WHEN 0 THEN '.pdf' WHEN 1 THEN '.jpg' WHEN 2 THEN '.png' WHEN 3 THEN '.zip' ELSE '.txt' END)"
+      val mime = s"CASE WHEN $fname LIKE '%.pdf' THEN 'application/pdf' WHEN $fname LIKE '%.jpg' OR $fname LIKE '%.jpeg' THEN 'image/jpeg' WHEN $fname LIKE '%.png' THEN 'image/png' WHEN $fname LIKE '%.zip' THEN 'application/zip' ELSE 'application/octet-stream' END"
+      s"""SELECT p_partkey, $mime AS mime, CASE WHEN $mime IN ('application/pdf','image/jpeg','image/png','application/zip') THEN 1 ELSE 0 END AS allowed FROM part"""
+    },
+
+    "q07_size_cap" ->
+      """SELECT event_id, length(props) AS content_len, CASE WHEN length(props) <= 9 THEN 1 ELSE 0 END AS ok, CASE WHEN length(props) > 9 THEN 'File size exceeds limit' END AS err FROM events""",
+
+    "q08_warnings" ->
+      """SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END AS w_num_missing,
+         CASE WHEN o_orderkey % 7 <> 0 AND o_orderkey % 13 = 0 THEN 1 ELSE 0 END AS w_num_format,
+         CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END AS w_vendor_missing,
+         CASE WHEN o_orderkey % 4 = 0 THEN 1 ELSE 0 END AS w_date_missing,
+         CASE WHEN o_orderkey % 4 <> 0 AND CAST(o_orderdate AS DATE) > DATE '2025-04-18' THEN 1 ELSE 0 END AS w_date_future,
+         CASE WHEN o_orderkey % 6 = 0 THEN 1 ELSE 0 END AS w_totals_mismatch,
+         CASE WHEN o_orderkey % 9 = 0 THEN 1 ELSE 0 END AS w_pages
+         FROM orders""",
+
+    "q09_anomaly_flags" ->
+      """WITH items AS (SELECT l_orderkey, count(*) AS n_items FROM lineitem GROUP BY 1)
+         SELECT o_orderkey, COALESCE(n_items, 0) AS n_items,
+           concat_ws('|',
+             CASE WHEN CAST(o_orderdate AS DATE) > DATE '2025-04-18' THEN 'Future date' END,
+             CASE WHEN o_totalprice > 10000 THEN 'Unusually high total amount' END,
+             CASE WHEN COALESCE(n_items, 0) > 20 THEN 'Large number of line items' END) AS flags
+         FROM orders LEFT JOIN items ON o_orderkey = l_orderkey
+         WHERE concat_ws('|',
+             CASE WHEN CAST(o_orderdate AS DATE) > DATE '2025-04-18' THEN 'Future date' END,
+             CASE WHEN o_totalprice > 10000 THEN 'Unusually high total amount' END,
+             CASE WHEN COALESCE(n_items, 0) > 20 THEN 'Large number of line items' END) <> ''""",
+
+    "q10_item_rollup" ->
+      """SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_quantity,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+         CASE WHEN SUM(CAST(l_quantity AS BIGINT)) > 0
+              THEN CAST(FLOOR(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) / SUM(CAST(l_quantity AS BIGINT))) AS BIGINT)
+              ELSE 0 END AS avg_unit_cents
+         FROM lineitem GROUP BY l_orderkey""",
+
+    "q11_address_concat" ->
+      """SELECT c_custkey, concat_ws(', ', NULLIF('12 Main St',''), NULLIF(CASE WHEN c_custkey % 3 = 0 THEN '' ELSE 'Springfield' END,''), NULLIF(CASE WHEN c_custkey % 5 = 0 THEN '' ELSE 'IL' END,''), NULLIF(lpad(CAST((c_custkey % 89999) + 10000 AS VARCHAR), 5, '0'),''), NULLIF('','')) AS address FROM customer""",
+
+    "q12_warnings_join" ->
+      """SELECT o_orderkey, COALESCE(c_custkey % 4, -1) AS warn_cnt FROM orders LEFT JOIN customer ON o_custkey = c_custkey""",
+
+    "q13_resume_antijoin" ->
+      """SELECT o_orderkey FROM orders WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)""",
+
+    "q14_counts" ->
+      """SELECT count(*) AS total_invoices, CAST(COALESCE(SUM(CASE WHEN o_totalprice > 10000 THEN 1 ELSE 0 END), 0) AS BIGINT) AS flagged FROM orders""",
+
+    "q15_md5_cachekey" ->
+      """SELECT c_custkey, md5(c_name) AS cache_key FROM customer""",
+
+    "q16_kv_split" ->
+      """SELECT event_id, split_part(props, ':', 1) AS kv_key, split_part(props, ':', 2) AS kv_value FROM events""",
+
+    "q17_export_rows" ->
+      """SELECT 'order_' || CAST(o_orderkey AS VARCHAR) || '.pdf' AS filename,
+         'INV-' || lpad(CAST(o_orderkey AS VARCHAR), 7, '0') AS invoice_number,
+         'Acme Supply Co' AS vendor_name,
+         '12 Main St, Springfield, IL, 62704' AS address,
+         CAST(o_orderdate AS DATE) AS invoice_date,
+         printf('%d.%02d', CAST(FLOOR(cents / 100) AS BIGINT), cents % 100) AS grand_total,
+         printf('%d.%02d', CAST(FLOOR(taxes_c / 100) AS BIGINT), taxes_c % 100) AS taxes,
+         printf('%d.%02d', CAST(FLOOR((cents + taxes_c) / 100) AS BIGINT), (cents + taxes_c) % 100) AS final_total,
+         CAST(o_orderkey % 7 + 1 AS INTEGER) AS quantity,
+         printf('%d.%02d', CAST(FLOOR(CAST(FLOOR(cents / (o_orderkey % 7 + 1)) AS BIGINT) / 100) AS BIGINT), CAST(FLOOR(cents / (o_orderkey % 7 + 1)) AS BIGINT) % 100) AS unit_price,
+         printf('%d.%02d', CAST(FLOOR(cents / 100) AS BIGINT), cents % 100) AS total,
+         1 AS pages
+         FROM (SELECT o_orderkey, o_orderdate,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                 CAST(FLOOR(CAST(round(o_totalprice * 100) AS BIGINT) / 10) AS BIGINT) AS taxes_c
+               FROM orders WHERE o_orderkey % 50 = 0)""",
+
+    "q18_dedup_exact" ->
+      """SELECT md5(text) AS text_md5, count(*) AS n_docs, min(doc_id) AS keeper FROM documents GROUP BY 1""",
+
+    "q19_token_quality" ->
+      """SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         CASE WHEN len(string_split(text, ' ')) > 0 THEN CAST(FLOOR(length(text) * 100 / len(string_split(text, ' '))) AS BIGINT) ELSE 0 END AS avg_word_len_x100,
+         CASE WHEN length(text) > 0 THEN CAST(FLOOR(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1000 / length(text)) AS BIGINT) ELSE 0 END AS punct_x1000,
+         CASE WHEN length(text) > 0 THEN CAST(FLOOR(length(regexp_replace(text, '[^0-9]', '', 'g')) * 1000 / length(text)) AS BIGINT) ELSE 0 END AS digit_x1000,
+         CAST(FLOOR((length(text) - length(replace(text, 'the', ''))) / 3) AS BIGINT) AS the_count
+         FROM documents""",
+
+    "q20_lang_id" ->
+      """SELECT doc_id, CASE
+           WHEN h_en = mx AND mx > 0 THEN 'en'
+           WHEN h_es = mx AND mx > 0 THEN 'es'
+           WHEN h_de = mx AND mx > 0 THEN 'de'
+           WHEN h_fr = mx AND mx > 0 THEN 'fr'
+           ELSE 'und' END AS lang_guess
+         FROM (SELECT doc_id,
+           len(list_intersect(string_split(lower(text), ' '), ['the','and','of','to','in','is','that','with'])) AS h_en,
+           len(list_intersect(string_split(lower(text), ' '), ['el','la','de','que','y','en','los','del'])) AS h_es,
+           len(list_intersect(string_split(lower(text), ' '), ['der','die','und','das','nicht','mit','ein','zu'])) AS h_de,
+           len(list_intersect(string_split(lower(text), ' '), ['le','la','les','des','est','dans','que','une'])) AS h_fr,
+           greatest(
+             len(list_intersect(string_split(lower(text), ' '), ['the','and','of','to','in','is','that','with'])),
+             len(list_intersect(string_split(lower(text), ' '), ['el','la','de','que','y','en','los','del'])),
+             len(list_intersect(string_split(lower(text), ' '), ['der','die','und','das','nicht','mit','ein','zu'])),
+             len(list_intersect(string_split(lower(text), ' '), ['le','la','les','des','est','dans','que','une']))) AS mx
+           FROM documents)""",
+
+    "q21_fingerprint" ->
+      """SELECT doc_id, md5(substr(text, 1, 100)) AS fp_head, md5(text) AS fp_full FROM documents""",
+
+    "q22_ngram_jaccard" ->
+      """WITH g AS (SELECT doc_id, list_distinct([substr(text, i, 3) FOR i IN range(1, greatest(length(text) - 1, 1))]) AS ng FROM documents)
+         SELECT a.doc_id AS id_a,
+           CASE WHEN (len(a.ng) + len(b.ng) - len(list_intersect(a.ng, b.ng))) > 0
+                THEN CAST(FLOOR(len(list_intersect(a.ng, b.ng)) * 1000000 / (len(a.ng) + len(b.ng) - len(list_intersect(a.ng, b.ng)))) AS BIGINT)
+                ELSE 1000000 END AS jaccard_x1m
+         FROM g a JOIN g b ON b.doc_id = a.doc_id + 1""",
+
+    "q23_cosine_topk" ->
+      """SELECT vec_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+           SELECT vec_id, round(list_cosine_similarity(embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)), 6) AS cos_sim,
+                  row_number() OVER (ORDER BY round(list_cosine_similarity(embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)), 6) DESC, vec_id) AS rank
+           FROM embeddings)
+         WHERE rank <= 10"""
+    // q24_minhash_lsh / q25_simhash / q26_lsh_topk: engine-hash-specific
+    // (xxhash64); driver records rows-only checks.
+  )
+}

@@ -17,9 +17,9 @@ object SparkEntry {
       spark.read.parquet(s"$dir/media"),
       partitions = spark.sparkContext.defaultParallelism)
   }
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  /** One entry per implemented operator from SURVEY.md §2 (see Queries). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Queries.oracles
 }

@@ -1,0 +1,90 @@
+package graft.exprs
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The warnings engine (SURVEY.md §2.6 V1-V10) and anomaly predicates
+  * (P4) as pure Column expressions. Warning messages mirror the
+  * reference verbatim (app/utils/validator.py:42-132, 151-172); each
+  * check yields NULL when it passes, a message when it fires, and the
+  * per-invoice warning list is a concat_ws over the pieces (concat_ws
+  * skips NULLs — identical semantics in DuckDB for the oracle twins).
+  */
+object ValidationExprs {
+
+  private def blank(c: Column): Column = c.isNull || trim(c) === ""
+
+  /** V1 */
+  def filenameWarning(filename: Column): Column =
+    when(blank(filename), "Filename is missing")
+
+  /** V2 */
+  def invoiceNumberWarning(num: Column): Column =
+    when(blank(num), "Invoice number is missing")
+      .when(!num.rlike("^[A-Za-z0-9-]{5,}$"),
+        concat(lit("Unusual invoice number format: "), num))
+
+  /** V3 */
+  def vendorNameWarning(name: Column): Column =
+    when(blank(name), "Vendor name is missing")
+
+  /** V4 — five presence checks. */
+  def addressWarnings(street: Column, city: Column, state: Column,
+      postal: Column, country: Column): Seq[Column] = Seq(
+    when(blank(street), "Vendor street is missing"),
+    when(blank(city), "Vendor city is missing"),
+    when(blank(state), "Vendor state is missing"),
+    when(blank(postal), "Vendor postal code is missing"),
+    when(blank(country), "Vendor country is missing"))
+
+  /** V5 — `asOf` pins date.today() (reference validator.py:83). */
+  def dateWarning(date: Column, asOf: Column): Column =
+    when(date.isNull, "Invoice date is missing")
+      .when(date > asOf,
+        concat(lit("Invoice date "), date.cast("string"), lit(" is in the future")))
+
+  /** V6 — applied to grand/taxes/final with their display names. */
+  def amountWarning(amount: Column, fieldName: String): Column =
+    when(amount.isNull, s"$fieldName is missing")
+      .when(amount < 0, s"$fieldName is negative")
+
+  /** V7 — |grand+taxes−final| > 0.01 (tolerance boundary inclusive-ok). */
+  def totalsWarning(grand: Column, taxes: Column, fin: Column): Column =
+    when(grand.isNotNull && taxes.isNotNull && fin.isNotNull &&
+      abs(grand + taxes - fin) > lit("0.01").cast("decimal(18,2)"),
+      concat(lit("Total amounts may not match: "), grand.cast("string"),
+        lit(" + "), taxes.cast("string"), lit(" ≈ "), fin.cast("string")))
+
+  /** V8 */
+  def pagesWarning(pages: Column): Column =
+    when(pages.isNull, "Number of pages is missing")
+      .when(pages < 1, concat(lit("Unusual number of pages: "), pages.cast("string")))
+
+  /** V10 — flat warning list as a '|'-joined string (NULL-skipping). */
+  def allWarnings(filename: Column, num: Column, vendorName: Column,
+      street: Column, city: Column, state: Column, postal: Column,
+      country: Column, date: Column, asOf: Column, grand: Column,
+      taxes: Column, fin: Column, pages: Column): Column = {
+    val pieces = Seq(
+      filenameWarning(filename),
+      invoiceNumberWarning(num),
+      vendorNameWarning(vendorName)) ++
+      addressWarnings(street, city, state, postal, country) ++ Seq(
+      dateWarning(date, asOf),
+      amountWarning(grand, "Grand total"),
+      amountWarning(taxes, "Taxes"),
+      amountWarning(fin, "Final total"),
+      totalsWarning(grand, taxes, fin),
+      pagesWarning(pages))
+    concat_ws("|", pieces: _*)
+  }
+
+  /** P4 — anomaly flags (reference validator.py:151-172), '|'-joined;
+    * empty string = not flagged.
+    */
+  def anomalyFlags(date: Column, asOf: Column, finalTotal: Column,
+      itemCount: Column): Column = concat_ws("|",
+    when(date.isNotNull && date > asOf, "Future date"),
+    when(finalTotal.isNotNull && finalTotal > lit(10000), "Unusually high total amount"),
+    when(itemCount.isNotNull && itemCount > lit(20), "Large number of line items"))
+}

@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact
+  * (hash-groupBy), MinHash+LSH (shingle → minhash → band → bucket
+  * join), SimHash, and n-gram-Jaccard verification. Public-algorithm
+  * lineage (Broder 1997 minhash; Charikar 2002 simhash).
+  *
+  * Scale notes: signatures are per-row Catalyst HOFs (no shuffle); the
+  * only shuffles are the groupBy on band buckets / hash keys — both on
+  * high-cardinality keys, AQE-coalesced. The candidate self-join is on
+  * (band, bucket), never all-pairs: at 10^12 docs the all-pairs join is
+  * impossible, the banded join is linear in candidates.
+  */
+object DedupOps {
+
+  /** Exact dedup: groups by full-text md5; keeper = min doc id.
+    * 1 shuffle on the hash (high-cardinality, uniform).
+    */
+  def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_md5"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keeper"))
+
+  /** MinHash signature as an array<long> of k per-seed minima over
+    * whitespace tokens — computed per-row with HOFs (zero shuffle).
+    */
+  def minhashSignature(text: Column, k: Int): Column = {
+    val tokens = array_distinct(split(text, " "))
+    transform(sequence(lit(0), lit(k - 1)), seed =>
+      array_min(transform(tokens, t => xxhash64(t, seed))))
+  }
+
+  /** LSH band buckets: the k-long signature split into `bands` groups
+    * whose hashes become join keys; near-dups collide in ≥1 band whp.
+    */
+  def lshBands(sig: Column, k: Int, bands: Int): Column = {
+    val rows = k / bands
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      struct(b.as("band"), xxhash64(slice(sig, b * lit(rows) + lit(1), lit(rows))).as("bucket")))
+  }
+
+  /** Candidate near-dup pairs via MinHash+LSH, verified by n-gram
+    * Jaccard ≥ `thresholdX1M`. Returns (id_a, id_b, jaccard_x1m),
+    * id_a < id_b.
+    */
+  def minhashLshPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 32, bands: Int = 8, thresholdX1M: Long = 600000L): DataFrame = {
+    // two-step select: aliasing and referencing in one projection would
+    // trip Spark's lateral-column-alias resolution on same-named columns
+    val withSig = df.select(col(idCol).as("id"), col(textCol).as("text"),
+      minhashSignature(col(textCol), k).as("sig"))
+    val withBands = withSig.select(col("id"), col("text"),
+      explode(lshBands(col("sig"), k, bands)).as("bb"))
+    val a = withBands.select(col("id").as("id_a"), col("text").as("text_a"),
+      col("bb").as("bb_a"))
+    val b = withBands.select(col("id").as("id_b"), col("text").as("text_b"),
+      col("bb").as("bb_b"))
+    // dedup candidate pairs BEFORE the (expensive) Jaccard verification:
+    // on vocabulary-uniform corpora many bands collide for the same pair,
+    // and verifying per banded row instead of per pair is quadratic waste
+    a.join(b, col("bb_a") === col("bb_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("text_a"), col("text_b"))
+      .distinct()
+      .select(col("id_a"), col("id_b"),
+        TextOps.ngramJaccardX1M(col("text_a"), col("text_b"), 3).as("jaccard_x1m"))
+      .filter(col("jaccard_x1m") >= thresholdX1M)
+  }
+
+  /** 64-bit SimHash over whitespace tokens: per-bit ±1 votes folded with
+    * HOFs, packed as the sign vector. Per-row, zero shuffle.
+    */
+  def simhash64(text: Column): Column = {
+    val tokens = split(text, " ")
+    val votes = aggregate(
+      tokens,
+      array_repeat(lit(0), 64),
+      (acc, t) => {
+        val h = xxhash64(t)
+        zip_with(acc, sequence(lit(0), lit(63)), (a, i) =>
+          a + when(call_function("shiftright", h, i).bitwiseAND(1) === 1, 1).otherwise(-1))
+      })
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)), (v, i) =>
+        when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two simhash values (near-dup if small). */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language-ID heuristic, document
+  * fingerprinting, n-gram shingling. All pure Catalyst HOFs/expressions
+  * — per-row, no shuffle, fully codegen-friendly — so they hold at
+  * 10^12 rows (cost scales with bytes scanned, not with any join).
+  */
+object TextOps {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(split(text, " "))
+
+  /** BPE-ish sub-token count: split on word/number/punct boundaries. */
+  def bpeishTokenCount(text: Column): Column =
+    size(filter(split(text, "(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])"),
+      t => t =!= ""))
+
+  /** floor(a/b) as long — double division of exact ints is safe here
+    * (operands ≪ 2^53 and quotients are ≫ one ulp from boundaries),
+    * and DuckDB oracle twins use the same FLOOR(a / b) form.
+    */
+  private def floorDiv(a: Column, b: Column): Column =
+    floor(a / b).cast("long")
+
+  /** Characters per whitespace token ×100 (integer — deterministic
+    * across engines, no FP).
+    */
+  def avgWordLenX100(text: Column): Column = {
+    val toks = tokenCount(text)
+    when(toks > 0, floorDiv(length(text) * lit(100), toks)).otherwise(lit(0L))
+  }
+
+  /** Occurrences of a literal substring (via length differencing). */
+  def substrCount(text: Column, sub: String): Column =
+    floorDiv(length(text) - length(replace(text, lit(sub), lit(""))), lit(sub.length))
+
+  /** Quality signals: punctuation ratio ×1000, digit ratio ×1000,
+    * stopword hits — integer-scaled so oracle twins match bit-for-bit.
+    */
+  def punctRatioX1000(text: Column): Column =
+    when(length(text) > 0,
+      floorDiv(length(regexp_replace(text, "[^.,;:!?]", "")) * lit(1000),
+        length(text))).otherwise(lit(0L))
+
+  def digitRatioX1000(text: Column): Column =
+    when(length(text) > 0,
+      floorDiv(length(regexp_replace(text, "[^0-9]", "")) * lit(1000),
+        length(text))).otherwise(lit(0L))
+
+  /** Tiny per-language stopword tables for the n-gram/stopword
+    * language-ID heuristic (public-knowledge closed-class words).
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "with"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del"),
+    "de" -> Seq("der", "die", "und", "das", "nicht", "mit", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "des", "est", "dans", "que", "une"))
+
+  /** Stopword hits for one language over whitespace tokens. */
+  def stopwordHits(text: Column, lang: String): Column =
+    size(array_intersect(
+      split(lower(text), " "),
+      array(stopwords(lang).map(lit): _*)))
+      .cast("long")
+
+  /** Language-ID heuristic: argmax of stopword hits, 'und' if all zero.
+    * Deterministic tie-break: language order en, es, de, fr.
+    */
+  def langId(text: Column): Column = {
+    val langs = Seq("en", "es", "de", "fr")
+    val hits = langs.map(l => stopwordHits(text, l))
+    val maxHits = greatest(hits: _*)
+    val pick = langs.zip(hits).foldRight(lit("und")) {
+      case ((l, h), elseCol) => when(h === maxHits && maxHits > 0, l).otherwise(elseCol)
+    }
+    pick
+  }
+
+  /** Document fingerprint: md5 of the leading window (cheap identity
+    * for resumable pipelines; full-text md5 for exact dedup).
+    */
+  def fingerprint(text: Column, window: Int = 100): Column =
+    md5(substring(text, 1, window))
+
+  /** Character n-gram shingles (distinct), as an array column.
+    * Guarded: sequence(1, 0) would infer a negative step, so short
+    * texts return an empty array explicitly.
+    */
+  def charNgrams(text: Column, n: Int): Column =
+    when(length(text) >= n,
+      array_distinct(transform(
+        sequence(lit(1), length(text) - lit(n - 1)),
+        i => text.substr(i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** n-gram Jaccard ×1,000,000 between two texts (integer, exact). */
+  def ngramJaccardX1M(a: Column, b: Column, n: Int): Column = {
+    val ga = charNgrams(a, n)
+    val gb = charNgrams(b, n)
+    val inter = size(array_intersect(ga, gb)).cast("long")
+    val union = (size(ga) + size(gb)).cast("long") - inter
+    when(union > 0, floorDiv(inter * lit(1000000L), union))
+      .otherwise(lit(1000000L))
+  }
+}
