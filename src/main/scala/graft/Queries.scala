@@ -451,6 +451,14 @@ object Queries {
                 ELSE 1000000 END AS jaccard_x1m
          FROM g a JOIN g b ON b.doc_id = a.doc_id + 1""",
 
+    "q27_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
+              p AS (SELECT vec_id, embedding FROM e UNION ALL SELECT vec_id + 1000000, embedding FROM e)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cos_sim
+         FROM p a JOIN p b ON a.vec_id < b.vec_id
+         WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.9""",
+
     "q23_cosine_topk" ->
       """SELECT vec_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
            SELECT vec_id, round(list_cosine_similarity(embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)), 6) AS cos_sim,

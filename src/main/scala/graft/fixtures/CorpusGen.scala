@@ -205,8 +205,10 @@ object CorpusGen {
       val kind = p.kinds(rng.nextInt(p.kinds.length))
       kind match {
         case "text" =>
+          // provenance for inline spans = doc_id:<renumbered offset>; the
+          // renumbered offset equals the golden sub-span count so far
           val content = if (rng.nextInt(100) < 30) {
-            val (t, g) = invoiceText(rng, s"$docId:$i")
+            val (t, g) = invoiceText(rng, s"$docId:${goldenSubs.length}")
             invoices += g; t
           } else prose(rng)
           spans += Span("text", content, "", i)
@@ -287,23 +289,32 @@ object CorpusGen {
   def generate(p: Params): Seq[DocFixture] =
     (0 until p.nDocs).map(genDoc(_, p))
 
-  /** Write docs/media/golden_spans/golden_invoices parquet under dir. */
+  /** Write docs/media/golden_spans/golden_invoices parquet under dir.
+    * Generation is distributed (each doc derives from (seed, idx) alone,
+    * so workers generate independently) and cached across the three
+    * output writes — glyph rendering dominates generation cost.
+    */
   def write(spark: org.apache.spark.sql.SparkSession, dir: String, p: Params): Unit = {
     import spark.implicits._
-    val fixtures = generate(p)
-    spark.createDataset(fixtures.map(_.doc)).toDF()
-      .repartition(4).write.mode("overwrite").parquet(s"$dir/docs")
-    spark.createDataset(fixtures.flatMap(_.media)).toDF()
-      .repartition(4).write.mode("overwrite").parquet(s"$dir/media")
-    spark.createDataset(fixtures.map(_.golden)).toDF()
-      .write.mode("overwrite").parquet(s"$dir/golden_spans")
-    spark.createDataset(fixtures.flatMap(_.invoices).map(g =>
-      (g.filename, g.invoice_number, g.vendor_name, g.street, g.city,
-        g.state, g.postal_code, g.invoice_date,
-        BigDecimal(g.grand_total), BigDecimal(g.taxes), BigDecimal(g.final_total))))
-      .toDF("filename", "invoice_number", "vendor_name", "street", "city",
-        "state", "postal_code", "invoice_date", "grand_total", "taxes",
-        "final_total")
-      .write.mode("overwrite").parquet(s"$dir/golden_invoices")
+    val par = spark.sparkContext.defaultParallelism
+    val fixtures = spark.range(p.nDocs).repartition(par).as[Long]
+      .mapPartitions(_.map(i => genDoc(i.toInt, p)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      fixtures.map(_.doc).toDF()
+        .write.mode("overwrite").parquet(s"$dir/docs")
+      fixtures.flatMap(_.media).toDF()
+        .write.mode("overwrite").parquet(s"$dir/media")
+      fixtures.map(_.golden).toDF()
+        .write.mode("overwrite").parquet(s"$dir/golden_spans")
+      fixtures.flatMap(_.invoices).map(g =>
+        (g.filename, g.invoice_number, g.vendor_name, g.street, g.city,
+          g.state, g.postal_code, g.invoice_date,
+          BigDecimal(g.grand_total), BigDecimal(g.taxes), BigDecimal(g.final_total)))
+        .toDF("filename", "invoice_number", "vendor_name", "street", "city",
+          "state", "postal_code", "invoice_date", "grand_total", "taxes",
+          "final_total")
+        .write.mode("overwrite").parquet(s"$dir/golden_invoices")
+    } finally fixtures.unpersist()
   }
 }

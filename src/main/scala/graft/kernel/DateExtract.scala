@@ -67,6 +67,19 @@ object DateExtract {
 
   private val monthByName: Map[String, Int] = monthNames.toMap
 
+  // precompiled hot-path patterns (compiled-per-call was a measured
+  // bottleneck in the invoice kernel stage)
+  private val ymd8Pattern = Pattern.compile("(\\d{4})(\\d{2})(\\d{2})")
+  private val dmy8Pattern = Pattern.compile("(\\d{2})(\\d{2})(\\d{4})")
+  private val dottedPattern =
+    Pattern.compile("\\b(\\d{1,2})\\.(\\d{1,2})\\.(\\d{2})\\b")
+  private val monthPatterns: Seq[(Int, Pattern, Pattern)] =
+    monthNames.map { case (name, num) =>
+      (num,
+        Pattern.compile("(?i)" + name + "\\S*\\.?\\s+(\\d{1,2})\\S*\\.?\\s+(\\d{4})"),
+        Pattern.compile("(?i)(\\d{1,2})\\S*\\.?\\s+" + name + "\\S*\\.?\\s+(\\d{4})"))
+    }
+
   def extractDate(
       text: String,
       entities: Seq[String] = Nil,
@@ -110,12 +123,12 @@ object DateExtract {
     }
     // (d) special 8-digit forms — NOTE: unanchored, like the reference's
     // finditer without \b (data_extractor.py:115-137)
-    val ymd8 = Pattern.compile("(\\d{4})(\\d{2})(\\d{2})").matcher(text)
+    val ymd8 = ymd8Pattern.matcher(text)
     while (ymd8.find()) {
       mkDate(ymd8.group(1).toInt, ymd8.group(2).toInt, ymd8.group(3).toInt)
         .foreach(d => return Some(d))
     }
-    val dmy8 = Pattern.compile("(\\d{2})(\\d{2})(\\d{4})").matcher(text)
+    val dmy8 = dmy8Pattern.matcher(text)
     while (dmy8.find()) {
       val (first, second, year) =
         (dmy8.group(1).toInt, dmy8.group(2).toInt, dmy8.group(3).toInt)
@@ -123,15 +136,13 @@ object DateExtract {
         .foreach(d => return Some(d))
     }
     // (e) month-name table, jan..dec, both orders (data_extractor.py:139-159)
-    for ((name, num) <- monthNames) {
-      val p1 = Pattern.compile(
-        "(?i)" + name + "\\S*\\.?\\s+(\\d{1,2})\\S*\\.?\\s+(\\d{4})").matcher(text)
+    for ((num, mdPat, dmPat) <- monthPatterns) {
+      val p1 = mdPat.matcher(text)
       while (p1.find()) {
         mkDate(p1.group(2).toInt, num, p1.group(1).toInt)
           .foreach(d => return Some(d))
       }
-      val p2 = Pattern.compile(
-        "(?i)(\\d{1,2})\\S*\\.?\\s+" + name + "\\S*\\.?\\s+(\\d{4})").matcher(text)
+      val p2 = dmPat.matcher(text)
       while (p2.find()) {
         mkDate(p2.group(2).toInt, num, p2.group(1).toInt)
           .foreach(d => return Some(d))
@@ -161,7 +172,7 @@ object DateExtract {
     * (y, m, d) tried before the (y, d, m) swap rescue.
     */
   private def dottedTwoDigitYear(text: String, asOf: LocalDate): Option[LocalDate] = {
-    val m = Pattern.compile("\\b(\\d{1,2})\\.(\\d{1,2})\\.(\\d{2})\\b").matcher(text)
+    val m = dottedPattern.matcher(text)
     while (m.find()) {
       val (day, month, yearShort) = (m.group(1).toInt, m.group(2).toInt, m.group(3).toInt)
       val century = asOf.getYear / 100

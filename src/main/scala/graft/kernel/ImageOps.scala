@@ -13,22 +13,24 @@ import scala.collection.mutable.ArrayBuffer
   */
 object ImageOps {
 
+  // ImageIO's default stream cache is file-backed and lock-guarded —
+  // a contention point with 32 decode threads. In-memory cache instead.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Luma grayscale from an RGB image (ITU-R BT.601 weights, same family
     * as cv2.cvtColor BGR2GRAY). Row-major Int array, 0..255.
+    * Bulk getRGB: one raster conversion call, not w*h JNI-ish lookups.
     */
   def grayFrom(img: BufferedImage): (Array[Int], Int, Int) = {
     val w = img.getWidth; val h = img.getHeight
+    val rgb = img.getRGB(0, 0, w, h, null, 0, w)
     val out = new Array[Int](w * h)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val rgb = img.getRGB(x, y)
-        val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
-        out(y * w + x) = ((299 * r + 587 * g + 114 * b) / 1000)
-        x += 1
-      }
-      y += 1
+    var i = 0
+    while (i < rgb.length) {
+      val v = rgb(i)
+      val r = (v >> 16) & 0xff; val g = (v >> 8) & 0xff; val b = v & 0xff
+      out(i) = (299 * r + 587 * g + 114 * b) / 1000
+      i += 1
     }
     (out, w, h)
   }
@@ -117,29 +119,37 @@ object ImageOps {
     val thetas = (0 to nSteps).map(i => -maxDeg + i * stepDeg).toArray
     val diag = math.sqrt(w.toDouble * w + h.toDouble * h).toInt + 2
     var bestTheta = 0.0; var bestScore = -1.0
-    // subsample foreground pixels for speed on large pages
-    val pts = ArrayBuffer.empty[(Int, Int)]
+    // collect foreground pixels packed x<<16|y (no boxed tuples — a
+    // measured allocation hotspot at 32 kernel threads)
+    var fgCount = 0
+    var i = 0
+    while (i < fg.length) { if (fg(i)) fgCount += 1; i += 1 }
+    val pts = new Array[Int](fgCount)
+    var k = 0
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        if (fg(y * w + x)) pts += ((x, y))
+        if (fg(y * w + x)) { pts(k) = (x << 16) | y; k += 1 }
         x += 1
       }
       y += 1
     }
+    // subsample for speed on large pages
     val stride = math.max(1, pts.length / 20000)
+    val acc = new Array[Int](2 * diag + 1)
     thetas.foreach { deg =>
       val rad = math.toRadians(deg)
       val sin = math.sin(rad); val cos = math.cos(rad)
-      val acc = new Array[Int](2 * diag + 1)
-      var i = 0
-      while (i < pts.length) {
-        val (x, py) = pts(i)
+      java.util.Arrays.fill(acc, 0)
+      var p = 0
+      while (p < pts.length) {
+        val v = pts(p)
+        val x = v >>> 16; val py = v & 0xffff
         // distance of the (skewed) baseline: rho = y*cos - x*sin
         val rho = (py * cos - x * sin).toInt + diag
         acc(rho) += 1
-        i += stride
+        p += stride
       }
       var score = 0.0
       var j = 0
@@ -175,12 +185,38 @@ object ImageOps {
     out
   }
 
-  /** Connected component: bounding box + pixel bitmap. */
+  /** Connected component: bounding box + a row-major bitmap of the box
+    * (primitive array — per-pixel tuple boxing was a measured GC
+    * hotspot at 32 kernel threads).
+    */
   final case class Component(
-      minX: Int, minY: Int, maxX: Int, maxY: Int, pixels: Array[(Int, Int)]) {
+      minX: Int, minY: Int, maxX: Int, maxY: Int, bitmap: Array[Boolean]) {
     def width: Int = maxX - minX + 1
     def height: Int = maxY - minY + 1
     def centerY: Double = (minY + maxY) / 2.0
+    def bit(bx: Int, by: Int): Boolean = bitmap(by * width + bx)
+  }
+
+  /** Union of two components (multi-dot glyphs, broken strokes). */
+  def mergeComponents(a: Component, b: Component): Component = {
+    val minX = math.min(a.minX, b.minX); val minY = math.min(a.minY, b.minY)
+    val maxX = math.max(a.maxX, b.maxX); val maxY = math.max(a.maxY, b.maxY)
+    val w = maxX - minX + 1
+    val bm = new Array[Boolean]((maxY - minY + 1) * w)
+    def blit(c: Component): Unit = {
+      var y = 0
+      while (y < c.height) {
+        var x = 0
+        while (x < c.width) {
+          if (c.bitmap(y * c.width + x))
+            bm((y + c.minY - minY) * w + (x + c.minX - minX)) = true
+          x += 1
+        }
+        y += 1
+      }
+    }
+    blit(a); blit(b)
+    Component(minX, minY, maxX, maxY, bm)
   }
 
   /** Two-pass 8-connectivity CCL with union-find — layout segmentation
@@ -225,28 +261,59 @@ object ImageOps {
       }
       y += 1
     }
-    // second pass: resolve + collect
-    val comps = scala.collection.mutable.LinkedHashMap.empty[Int, ArrayBuffer[(Int, Int)]]
+    // pass 2a: per-root bbox + pixel counts (primitive arrays only)
+    val nLabels = parent.length
+    val minXs = Array.fill(nLabels)(Int.MaxValue)
+    val minYs = Array.fill(nLabels)(Int.MaxValue)
+    val maxXs = new Array[Int](nLabels)
+    val maxYs = new Array[Int](nLabels)
+    val counts = new Array[Int](nLabels)
     y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
         val l = labels(y * w + x)
-        if (l > 0) comps.getOrElseUpdate(find(l), ArrayBuffer.empty) += ((x, y))
+        if (l > 0) {
+          val r = find(l)
+          labels(y * w + x) = r // memoize root for pass 2b
+          if (x < minXs(r)) minXs(r) = x
+          if (x > maxXs(r)) maxXs(r) = x
+          if (y < minYs(r)) minYs(r) = y
+          if (y > maxYs(r)) maxYs(r) = y
+          counts(r) += 1
+        }
         x += 1
       }
       y += 1
     }
-    comps.values.iterator
-      .filter(_.length >= minPixels)
-      .map { pts =>
-        var minX = Int.MaxValue; var minY = Int.MaxValue
-        var maxX = 0; var maxY = 0
-        pts.foreach { case (x, py) =>
-          if (x < minX) minX = x; if (x > maxX) maxX = x
-          if (py < minY) minY = py; if (py > maxY) maxY = py
+    // pass 2b: fill per-root bbox bitmaps
+    val bitmaps = new Array[Array[Boolean]](nLabels)
+    var r = 1
+    while (r < nLabels) {
+      if (counts(r) >= minPixels)
+        bitmaps(r) = new Array[Boolean]((maxYs(r) - minYs(r) + 1) * (maxXs(r) - minXs(r) + 1))
+      r += 1
+    }
+    y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val l = labels(y * w + x)
+        if (l > 0 && bitmaps(l) != null) {
+          val bw = maxXs(l) - minXs(l) + 1
+          bitmaps(l)((y - minYs(l)) * bw + (x - minXs(l))) = true
         }
-        Component(minX, minY, maxX, maxY, pts.toArray)
-      }.toSeq
+        x += 1
+      }
+      y += 1
+    }
+    val out = ArrayBuffer.empty[Component]
+    r = 1
+    while (r < nLabels) {
+      if (bitmaps(r) != null)
+        out += Component(minXs(r), minYs(r), maxXs(r), maxYs(r), bitmaps(r))
+      r += 1
+    }
+    out.toSeq
   }
 }

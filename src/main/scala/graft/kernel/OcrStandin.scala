@@ -76,11 +76,7 @@ object OcrStandin {
       val merged = ArrayBuffer.empty[ImageOps.Component]
       rawLine.foreach { c =>
         if (merged.nonEmpty && c.minX <= merged.last.maxX + 0.9 * scale) {
-          val m = merged.last
-          merged(merged.length - 1) = ImageOps.Component(
-            math.min(m.minX, c.minX), math.min(m.minY, c.minY),
-            math.max(m.maxX, c.maxX), math.max(m.maxY, c.maxY),
-            m.pixels ++ c.pixels)
+          merged(merged.length - 1) = ImageOps.mergeComponents(merged.last, c)
         } else merged += c
       }
       merged.toSeq
@@ -106,8 +102,6 @@ object OcrStandin {
     */
   private def matchGlyph(c: ImageOps.Component, scale: Double): Char = {
     val cw = c.width; val ch = c.height
-    val bitmap = Array.ofDim[Boolean](ch, cw)
-    c.pixels.foreach { case (x, y) => bitmap(y - c.minY)(x - c.minX) = true }
     var best = '?'; var bestScore = Double.MaxValue
     croppedGlyphs.foreach { case (gc, grid) =>
       val gh = grid.length; val gw = grid(0).length
@@ -129,7 +123,7 @@ object OcrStandin {
             var y = y0
             while (y < y1) {
               var x = x0
-              while (x < x1) { if (bitmap(y)(x)) on += 1; tot += 1; x += 1 }
+              while (x < x1) { if (c.bit(x, y)) on += 1; tot += 1; x += 1 }
               y += 1
             }
             val sampled = on.toDouble / tot >= 0.35

@@ -23,13 +23,26 @@ object DedupOps {
     df.groupBy(md5(col(textCol)).as("text_md5"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keeper"))
 
+  /** 3-token shingles — the minhash unit. Unigram tokens degenerate on
+    * vocabulary-saturated corpora (every doc contains every common
+    * word, so all signatures collide); word shingles keep diversity.
+    */
+  def tokenShingles(text: Column): Column = {
+    val tokens = split(text, " ")
+    array_distinct(when(size(tokens) >= 3,
+      transform(sequence(lit(0), size(tokens) - 3), i =>
+        concat_ws(" ", element_at(tokens, i + 1), element_at(tokens, i + 2),
+          element_at(tokens, i + 3))))
+      .otherwise(array(concat_ws(" ", tokens))))
+  }
+
   /** MinHash signature as an array<long> of k per-seed minima over
-    * whitespace tokens — computed per-row with HOFs (zero shuffle).
+    * 3-token shingles — computed per-row with HOFs (zero shuffle).
     */
   def minhashSignature(text: Column, k: Int): Column = {
-    val tokens = array_distinct(split(text, " "))
+    val shingles = tokenShingles(text)
     transform(sequence(lit(0), lit(k - 1)), seed =>
-      array_min(transform(tokens, t => xxhash64(t, seed))))
+      array_min(transform(shingles, t => xxhash64(t, seed))))
   }
 
   /** LSH band buckets: the k-long signature split into `bands` groups

@@ -68,7 +68,12 @@ object ExtractionPipeline {
     val all = inline.select(taskCols.map(col): _*)
       .unionByName(withMedia.select(taskCols.map(col): _*))
 
-    // salted repartition: hash(doc_id, offset) spreads whale docs
+    // Salted repartition on hash(doc_id, offset): spreads whale docs at
+    // span granularity. This is the ONLY shuffle of the payload bytes —
+    // the media join above broadcasts the tiny task side, so the bytes
+    // flow scan → here exactly once. Measured: removing this shuffle
+    // drops kernel parallelism to scan-split granularity (bytes are a
+    // bad proxy for OCR cost) and costs ~50% throughput at 32 cores.
     val salted = all.repartition(partitions,
       pmod(xxhash64(col("doc_id"), col("offset")), lit(partitions)))
 

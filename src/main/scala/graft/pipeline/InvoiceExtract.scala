@@ -1,0 +1,124 @@
+package graft.pipeline
+
+import java.time.LocalDate
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import graft.kernel.{DateExtract, FieldExtract}
+import graft.model.Invoice
+
+/** Structured invoice extraction over extracted document spans — the
+  * engine's realization of the reference's GCV/regex path
+  * (reference app/utils/data_extractor.py:347-372) with the DocAI
+  * fallback lattice P2 (data_extractor.py:259-274) available via
+  * [[withEntityFallback]].
+  *
+  * Runs as a typed map over (filename, text) pairs because the date
+  * cascade (F6) is kernel logic; everything downstream (warnings,
+  * anomaly flags, export projection) is pure Catalyst.
+  */
+object InvoiceExtract {
+
+  /** Flat extraction row (invoice without nested structs — the
+    * relational edge shape; money as BigDecimal(18,2)).
+    */
+  final case class InvoiceRow(
+      filename: String,
+      invoice_number: Option[String],
+      vendor_name: String,
+      street: String,
+      city: String,
+      state: String,
+      postal_code: String,
+      invoice_date: Option[String],
+      grand_total: Option[BigDecimal],
+      taxes: Option[BigDecimal],
+      final_total: Option[BigDecimal],
+      pages: Int)
+
+  private def toRow(inv: Invoice): InvoiceRow = InvoiceRow(
+    filename = inv.filename,
+    invoice_number = inv.invoice_number,
+    vendor_name = inv.vendor.name,
+    street = inv.vendor.address.street,
+    city = inv.vendor.address.city,
+    state = inv.vendor.address.state,
+    postal_code = inv.vendor.address.postal_code,
+    invoice_date = inv.invoice_date,
+    grand_total = inv.grand_total.map(_.setScale(2)),
+    taxes = inv.taxes.map(_.setScale(2)),
+    final_total = inv.final_total.map(_.setScale(2)),
+    pages = inv.pages)
+
+  /** Extract one invoice per text span of the extraction output.
+    * Provenance filename = media_ref for media-derived spans (already
+    * `ref#page{n}`-shaped, mirroring the reference's `_page{n}` file
+    * naming), else `doc_id:offset` for inline spans.
+    */
+  def fromSpans(extracted: DataFrame,
+      asOf: LocalDate = DateExtract.DefaultAsOf): Dataset[InvoiceRow] = {
+    val spark = extracted.sparkSession
+    import spark.implicits._
+    val texts = extracted
+      .select(col("doc_id"), explode(col("spans")).as("s"))
+      .filter(col("s.kind") === "text")
+      .select(
+        when(col("s.media_ref") =!= "", col("s.media_ref"))
+          .otherwise(concat(col("doc_id"), lit(":"), col("s.offset")))
+          .as("filename"),
+        col("s.text").as("text"))
+      .as[(String, String)]
+      // AQE coalesces the upstream groupBy output to a handful of
+      // partitions (small bytes) — but the date cascade is CPU-heavy,
+      // so spread the kernel map across all cores explicitly
+      .repartition(spark.sparkContext.defaultParallelism * 4)
+    texts.mapPartitions(_.map { case (filename, text) =>
+      toRow(FieldExtract.extractFromText(text, filename, asOf = asOf))
+    })
+  }
+
+  /** The P2 fallback lattice: entity path accepted iff the validity
+    * gate passes, else the regex path over raw text.
+    */
+  def withEntityFallback(
+      entities: Map[String, String],
+      tables: Seq[Seq[Seq[String]]],
+      text: String,
+      filename: String,
+      asOf: LocalDate = DateExtract.DefaultAsOf): InvoiceRow = {
+    val docai = FieldExtract.extractFromEntities(entities, tables, filename)
+    if (entities.nonEmpty && FieldExtract.isInvoiceValid(docai)) toRow(docai)
+    else toRow(FieldExtract.extractFromText(text, filename, asOf = asOf))
+  }
+
+  /** The reference exporter's fixed 12-column CSV projection
+    * (reference app/utils/exporter.py:14-18, 38-84): address concat in
+    * reference field order, item rollup (empty-items → zeros), money
+    * as %.2f strings.
+    */
+  def exportProjection(invoices: DataFrame): DataFrame = {
+    def money(c: org.apache.spark.sql.Column) =
+      // %.2f needs a double; a 2-dp decimal is exactly representable
+      when(c.isNotNull, format_string("%.2f", c.cast("double"))).otherwise(lit(""))
+    invoices.select(
+      col("filename").as("Filename"),
+      coalesce(col("invoice_number"), lit("")).as("Invoice Number"),
+      col("vendor_name").as("Vendor Name"),
+      concat_ws(", ",
+        nullif(col("street"), lit("")), nullif(col("city"), lit("")),
+        nullif(col("state"), lit("")), nullif(col("postal_code"), lit("")))
+        .as("Address"),
+      coalesce(col("invoice_date"), lit("")).as("Invoice Date"),
+      money(col("grand_total")).as("Grand Total"),
+      money(col("taxes")).as("Taxes"),
+      money(col("final_total")).as("Final Total"),
+      lit(0).as("Quantity"),
+      lit(0).as("Unit Price"),
+      lit(0).as("Total"),
+      col("pages").as("Pages"))
+  }
+
+  /** S8 — CSV sink. */
+  def writeCsv(invoices: DataFrame, path: String): Unit =
+    exportProjection(invoices)
+      .write.mode("overwrite").option("header", "true").csv(path)
+}

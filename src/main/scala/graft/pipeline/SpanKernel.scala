@@ -83,9 +83,9 @@ object SpanKernel {
         sub(t, i, text, s"$ref#page${i + 1}")
       }
     case MimeSniffer.Png | MimeSniffer.Jpeg =>
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      if (img == null) Seq(err(t, s"undecodable image: $ref"))
-      else Seq(sub(t, 0, OcrStandin.ocrImage(img), ref))
+      val g = ImageDecode.readGray(bytes)
+      if (g == null) Seq(err(t, s"undecodable image: $ref"))
+      else Seq(sub(t, 0, OcrStandin.ocrGray(g._1, g._2, g._3), ref))
     case MimeSniffer.Zip =>
       val entries = ZipExplode.entries(bytes)
       if (entries.isEmpty) Seq(err(t, s"empty zip: $ref"))

@@ -1,0 +1,137 @@
+package graft.pipeline
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+import graft.exprs.ValidationExprs
+import graft.fixtures.CorpusGen
+
+/** Structured extraction vs golden_invoices: every golden row must be
+  * reproduced field-for-field from the pipeline's extracted spans.
+  */
+class InvoiceExtractSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft_inv").toString
+    CorpusGen.write(spark, d, CorpusGen.Params(nDocs = 250, seed = 7L))
+    d
+  }
+
+  private lazy val extractedInvoices = {
+    val out = ExtractionPipeline.extract(
+      spark.read.parquet(s"$dir/docs"),
+      spark.read.parquet(s"$dir/media"), partitions = 8)
+    InvoiceExtract.fromSpans(out).toDF()
+  }
+
+  test("golden invoices reproduced field-for-field") {
+    val golden = spark.read.parquet(s"$dir/golden_invoices")
+    assert(golden.count() > 50, "fixture should contain invoices")
+    val joined = golden.as("g").join(extractedInvoices.as("e"),
+      col("g.filename") === col("e.filename"), "left")
+    val mismatches = joined.filter(
+      col("e.filename").isNull ||
+        not(col("g.invoice_number") <=> col("e.invoice_number")) ||
+        not(col("g.vendor_name") <=> col("e.vendor_name")) ||
+        not(col("g.street") <=> col("e.street")) ||
+        not(col("g.city") <=> col("e.city")) ||
+        not(col("g.state") <=> col("e.state")) ||
+        not(col("g.postal_code") <=> col("e.postal_code")) ||
+        not(col("g.invoice_date") <=> coalesce(col("e.invoice_date"), lit(""))) ||
+        not(col("g.grand_total").cast("decimal(18,2)") <=> col("e.grand_total")) ||
+        not(col("g.taxes").cast("decimal(18,2)") <=> col("e.taxes")) ||
+        not(col("g.final_total").cast("decimal(18,2)") <=> col("e.final_total")))
+    val bad = mismatches.limit(5).collect()
+    assert(bad.isEmpty, s"mismatching invoices:\n${bad.mkString("\n")}")
+  }
+
+  test("warnings engine over extracted invoices matches independent derivation") {
+    val e = extractedInvoices
+    val withWarnings = e.select(col("filename"),
+      ValidationExprs.allWarnings(
+        col("filename"), col("invoice_number"), col("vendor_name"),
+        col("street"), col("city"), col("state"), col("postal_code"),
+        lit(""), // country is always empty in the GCV path
+        to_date(col("invoice_date")), lit("2025-04-18").cast("date"),
+        col("grand_total"), col("taxes"), col("final_total"),
+        col("pages")).as("warnings"))
+    // independent oracle: derive expectations in plain Scala from goldens
+    val golden = spark.read.parquet(s"$dir/golden_invoices").collect()
+    val got = withWarnings.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    golden.foreach { g =>
+      val filename = g.getString(0)
+      val num = g.getString(1)
+      val gVendor = g.getString(2); val gStreet = g.getString(3)
+      val gCity = g.getString(4); val gState = g.getString(5)
+      val gPostal = g.getString(6); val gDate = g.getString(7)
+      val expected = Seq(
+        if (num == null || num.trim.isEmpty) Some("Invoice number is missing")
+        else if (!num.matches("^[A-Za-z0-9-]{5,}$"))
+          Some(s"Unusual invoice number format: $num") else None,
+        if (gVendor.trim.isEmpty) Some("Vendor name is missing") else None,
+        if (gStreet.trim.isEmpty) Some("Vendor street is missing") else None,
+        if (gCity.trim.isEmpty) Some("Vendor city is missing") else None,
+        if (gState.trim.isEmpty) Some("Vendor state is missing") else None,
+        if (gPostal.trim.isEmpty) Some("Vendor postal code is missing") else None,
+        Some("Vendor country is missing"), // always fires (country = "")
+        if (gDate.isEmpty) Some("Invoice date is missing")
+        else if (gDate > "2025-04-18") Some(s"Invoice date $gDate is in the future")
+        else None
+      ).flatten
+      val gotW = got(filename)
+      expected.foreach(w => assert(gotW.contains(w),
+        s"$filename: expected warning [$w] in [$gotW]"))
+      // no date-missing warning when a date exists
+      if (gDate.nonEmpty)
+        assert(!gotW.contains("Invoice date is missing"), filename)
+    }
+  }
+
+  test("anomaly flags fire on future dates and high totals") {
+    val flagged = extractedInvoices.select(col("filename"),
+      col("invoice_date"), col("final_total"),
+      ValidationExprs.anomalyFlags(
+        to_date(col("invoice_date")), lit("2025-04-18").cast("date"),
+        col("final_total"), lit(0)).as("flags"))
+      .filter(col("flags") =!= "")
+    val rows = flagged.collect()
+    assert(rows.nonEmpty, "fixtures plant future dates and >10000 totals")
+    rows.foreach { r =>
+      val date = Option(r.getString(1))
+      val total = Option(r.getDecimal(2))
+      val flags = r.getString(3)
+      if (flags.contains("Future date"))
+        assert(date.exists(_ > "2025-04-18"), r.toString)
+      if (flags.contains("Unusually high total amount"))
+        assert(total.exists(_.compareTo(new java.math.BigDecimal(10000)) > 0), r.toString)
+    }
+  }
+
+  test("entity fallback lattice: valid entities win, invalid fall back to regex") {
+    val viaEntities = InvoiceExtract.withEntityFallback(
+      Map("invoice_id" -> "INV-9", "total_amount" -> "55.00"), Nil,
+      "Acme\nInvoice Number: INV-11111", "f1")
+    assert(viaEntities.invoice_number.contains("INV-9"))
+    assert(viaEntities.grand_total.contains(BigDecimal("55.00")))
+    // empty entities fail the validity gate -> regex path
+    val viaRegex = InvoiceExtract.withEntityFallback(
+      Map("other" -> "x"), Nil, "Acme\nInvoice Number: INV-11111", "f2")
+    assert(viaRegex.invoice_number.contains("INV-11111"))
+  }
+
+  test("CSV export sink writes the 12 reference columns") {
+    val outDir = Files.createTempDirectory("graft_csv").toString + "/inv"
+    InvoiceExtract.writeCsv(extractedInvoices.limit(20), outDir)
+    val back = spark.read.option("header", "true").csv(outDir)
+    assert(back.columns.toSeq == Seq("Filename", "Invoice Number",
+      "Vendor Name", "Address", "Invoice Date", "Grand Total", "Taxes",
+      "Final Total", "Quantity", "Unit Price", "Total", "Pages"))
+    assert(back.count() == 20)
+    // money format is %.2f
+    val money = back.filter(col("Grand Total") =!= "")
+      .select(col("Grand Total")).limit(5).collect()
+    money.foreach(r => assert(r.getString(0).matches("\\d+\\.\\d{2}"), r.toString))
+  }
+}

@@ -1,0 +1,71 @@
+package graft.pipeline
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+import graft.fixtures.CorpusGen
+
+/** Physical-plan assertions (SURVEY.md §4): the scale behaviours the
+  * engine relies on must be visible in `explain`, not assumed —
+  * predicate pushdown to the parquet scan, column pruning, broadcast
+  * of small join sides, AQE enablement.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft_plan").toString
+    CorpusGen.write(spark, d, CorpusGen.Params(nDocs = 60, kinds = Seq("text", "pdf")))
+    d
+  }
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(out) { df.explain("formatted") }
+    out.toString
+  }
+
+  test("doc_id filters push down to the parquet scan") {
+    val docs = spark.read.parquet(s"$dir/docs")
+    val p = plan(docs.filter(col("doc_id") === "doc-000000001"))
+    assert(p.contains("PushedFilters") &&
+      p.contains("IsNotNull(doc_id)"), p.take(2000))
+    assert(p.contains("EqualTo(doc_id,doc-000000001)"), p.take(2000))
+  }
+
+  test("column pruning reaches the scan (ReadSchema excludes spans)") {
+    val docs = spark.read.parquet(s"$dir/docs")
+    val p = plan(docs.select("doc_id"))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && !readSchema.contains("spans"), readSchema)
+  }
+
+  test("media join broadcasts the small task side (no bytes shuffle in the join)") {
+    val docs = spark.read.parquet(s"$dir/docs")
+    val media = spark.read.parquet(s"$dir/media")
+    val p = plan(ExtractionPipeline.extract(docs, media, 8))
+    // the tiny task side must broadcast; payload bytes must not flow
+    // through a join-side exchange (the only byte shuffle is the
+    // explicit salted repartition)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      p.take(3000))
+  }
+
+  test("AQE is active in the engine session") {
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    val p = plan(spark.read.parquet(s"$dir/docs").groupBy("doc_id").count())
+    assert(p.contains("AdaptiveSparkPlan"), p.take(500))
+  }
+
+  test("resume anti-join prunes committed chunks at the scan") {
+    val docs = spark.read.parquet(s"$dir/docs")
+    val chunkFilter = docs.filter(
+      pmod(xxhash64(col("doc_id")), lit(4)) === lit(2))
+    // the hash filter itself can't push down (function of a column),
+    // but the scan must still prune columns and the filter must sit
+    // directly above it (no shuffle before filtering)
+    val p = plan(chunkFilter)
+    assert(!p.contains("Exchange"), p.take(2000))
+  }
+}
