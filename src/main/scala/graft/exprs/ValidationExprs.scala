@@ -79,6 +79,45 @@ object ValidationExprs {
     concat_ws("|", pieces: _*)
   }
 
+  /** V9 — per-item checks over an
+    * `items: array<struct<description,quantity,unit_price,total>>`
+    * column (reference validator.py:110-132): presence + positivity per
+    * field, and |round(qty*price, 2) − total| > 0.01. Messages are
+    * 1-based-indexed like the reference; result is the '|'-joined list
+    * prefixed by the no-items warning when the array is empty.
+    */
+  def itemWarnings(items: Column): Column = {
+    val perItemRaw = flatten(zip_with(
+      items,
+      sequence(lit(1), greatest(size(items), lit(1))),
+      (item, idx) => {
+        val i = idx.cast("string")
+        val qty = item.getField("quantity")
+        val price = item.getField("unit_price")
+        val total = item.getField("total")
+        array(
+          when(blank(item.getField("description")),
+            concat(lit("Item "), i, lit(": Description is missing"))),
+          when(qty.isNull, concat(lit("Item "), i, lit(": Quantity is missing")))
+            .when(qty <= 0, concat(lit("Item "), i, lit(": Unusual quantity"))),
+          when(price.isNull, concat(lit("Item "), i, lit(": Unit price is missing")))
+            .when(price < 0, concat(lit("Item "), i, lit(": Unusual unit price"))),
+          when(total.isNull, concat(lit("Item "), i, lit(": Total is missing")))
+            .when(total < 0, concat(lit("Item "), i, lit(": Unusual total"))),
+          when(qty.isNotNull && price.isNotNull && total.isNotNull &&
+            abs(round(qty * price, 2) - total) > lit("0.01").cast("decimal(18,2)"),
+            concat(lit("Item "), i, lit(": Total may not match quantity * unit price"))))
+      }))
+    // zip_with pads the empty-items case with a null item whose checks
+    // would all fire — gate on size instead
+    val perItem = when(size(items) > 0, perItemRaw)
+      .otherwise(array().cast("array<string>"))
+    val noItems = when(size(items) === 0 || items.isNull,
+      array(lit("No line items found in the invoice")))
+      .otherwise(array().cast("array<string>"))
+    array_join(filter(concat(noItems, perItem), w => w.isNotNull), "|")
+  }
+
   /** P4 — anomaly flags (reference validator.py:151-172), '|'-joined;
     * empty string = not flagged.
     */

@@ -17,16 +17,55 @@ object OcrStandin {
     ocrGray(gray, w, h)
   }
 
-  def ocrGray(gray: Array[Int], w: Int, h: Int): String = {
+  def ocrGray(gray: Array[Int], w: Int, h: Int): String =
+    ocrDetailed(gray, w, h).text
+
+  /** A recognized word with its bounding box (the reference's OCR
+    * result carries words + 4-vertex boxes, ocr_engine.py:287-303).
+    */
+  final case class Word(text: String, x0: Int, y0: Int, x1: Int, y1: Int)
+
+  /** One text line: words in x order + the line's y band. */
+  final case class Line(words: Seq[Word], y0: Int, y1: Int) {
+    def text: String = words.map(_.text).mkString(" ")
+  }
+
+  /** Full layout result (F11/F12/F14): text, per-word boxes, lines
+    * grouped into blocks by vertical whitespace, and table rows (cells
+    * split at wide gaps — the reference's paragraph→row-of-word-cells
+    * stand-in, ocr_engine.py:330-340).
+    */
+  final case class OcrResult(lines: Seq[Line], skewDeg: Double) {
+    def text: String = lines.map(_.text).mkString("\n")
+    def words: Seq[Word] = lines.flatMap(_.words)
+    /** blocks = runs of lines whose vertical gap < 1.5 line heights. */
+    def blocks: Seq[Seq[Line]] = {
+      if (lines.isEmpty) return Nil
+      val out = ArrayBuffer(ArrayBuffer(lines.head))
+      lines.sliding(2).foreach {
+        case Seq(a, b) =>
+          val lineH = math.max(1, a.y1 - a.y0)
+          if (b.y0 - a.y1 > 1.5 * lineH) out += ArrayBuffer(b)
+          else out.last += b
+        case _ =>
+      }
+      out.map(_.toSeq).toSeq
+    }
+    /** table rows: each line's words as cells (multi-space separated
+      * words are distinct cells already at the word level).
+      */
+    def tableRows: Seq[Seq[String]] = lines.map(_.words.map(_.text))
+  }
+
+  def ocrDetailed(gray: Array[Int], w: Int, h: Int): OcrResult = {
     val clean = ImageOps.despeckle(gray, w, h)
     val bin = ImageOps.otsuBinarize(clean, w, h)
-    if (!bin.exists(identity)) return ""
+    if (!bin.exists(identity)) return OcrResult(Nil, 0.0)
     val angle = ImageOps.houghSkewAngle(bin, w, h)
     val fixed = if (math.abs(angle) >= 0.25) ImageOps.rotate(bin, w, h, -angle) else bin
     val comps = ImageOps.connectedComponents(fixed, w, h, minPixels = 2)
-    if (comps.isEmpty) return ""
-    val lines = groupLines(comps)
-    lines.map(lineText).mkString("\n")
+    if (comps.isEmpty) return OcrResult(Nil, angle)
+    OcrResult(groupLines(comps).map(lineWords), angle)
   }
 
   /** Group components into text lines by y-interval overlap, top to
@@ -65,7 +104,7 @@ object OcrStandin {
       (ch, grid)
     }
 
-  private def lineText(rawLine: Seq[ImageOps.Component]): String = {
+  private def lineWords(rawLine: Seq[ImageOps.Component]): Line = {
     // scale estimate: tallest glyph in the line is 7 pattern-rows tall
     val maxH = rawLine.map(_.height).max
     val scale = math.max(1.0, maxH / 7.0)
@@ -81,19 +120,31 @@ object OcrStandin {
       }
       merged.toSeq
     }
+    val words = ArrayBuffer.empty[Word]
     val sb = new StringBuilder
+    var wx0 = 0; var wy0 = Int.MaxValue; var wx1 = 0; var wy1 = 0
     var prevMaxX = Int.MinValue
+    def flushWord(): Unit = {
+      if (sb.nonEmpty) words += Word(sb.toString, wx0, wy0, wx1, wy1)
+      sb.clear(); wy0 = Int.MaxValue; wx1 = 0; wy1 = 0
+    }
     line.foreach { c =>
       if (prevMaxX != Int.MinValue) {
         val gap = c.minX - prevMaxX - 1
         // normal inter-glyph gap ≤ 5*scale (cell gap + empty glyph
         // columns); a space adds a full 6*scale cell
-        if (gap > 5.5 * scale) sb.append(' ')
+        if (gap > 5.5 * scale) flushWord()
       }
+      if (sb.isEmpty) wx0 = c.minX
       sb.append(matchGlyph(c, scale))
+      wx1 = math.max(wx1, c.maxX)
+      wy0 = math.min(wy0, c.minY); wy1 = math.max(wy1, c.maxY)
       prevMaxX = c.maxX
     }
-    sb.toString
+    flushWord()
+    Line(words.toSeq,
+      if (words.isEmpty) 0 else words.map(_.y0).min,
+      if (words.isEmpty) 0 else words.map(_.y1).max)
   }
 
   /** Nearest glyph by resampled-bitmap Hamming distance; candidates

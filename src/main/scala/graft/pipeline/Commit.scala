@@ -103,6 +103,57 @@ object Commit {
   def readOutput(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(s"$outDir/data")
 
+  // -------------------------------------------------------------------
+  // S12 — maintenance (temp-file GC twin, reference
+  // app/utils/maintenance.py:13-58): vacuum orphaned data dirs from
+  // aborted writes, compact chunk manifests into a snapshot summary.
+  // -------------------------------------------------------------------
+
+  /** Delete `data/chunk=k` directories that have NO manifest entry —
+    * leftovers of a write that died before its commit record. Returns
+    * the vacuumed chunk ids. Never touches manifested chunks.
+    */
+  def vacuum(outDir: String): Seq[Int] = {
+    val dataDir = Paths.get(outDir, "data")
+    if (!Files.isDirectory(dataDir)) return Nil
+    val committed = committedChunks(outDir).keySet
+    val orphans = Files.list(dataDir).iterator().asScala
+      .filter(p => p.getFileName.toString.matches("chunk=\\d+"))
+      .filter(p => !committed.contains(p.getFileName.toString.drop(6).toInt))
+      .toSeq
+    orphans.foreach { dir =>
+      Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+    orphans.map(_.getFileName.toString.drop(6).toInt).sorted
+  }
+
+  /** Write `_manifest/snapshot.json` aggregating all chunk manifests —
+    * the Iceberg-snapshot stand-in a downstream reader checks instead
+    * of N chunk files.
+    */
+  def compact(outDir: String): ChunkManifest = {
+    val all = committedChunks(outDir).values.toSeq.sortBy(_.chunk)
+    require(all.nonEmpty, "nothing committed")
+    val total = ChunkManifest(
+      runId = all.map(_.runId).distinct.mkString("+"),
+      chunk = -1,
+      sourceSnapshot = all.map(_.sourceSnapshot).distinct.mkString("+"),
+      rowCount = all.map(_.rowCount).sum,
+      spanCount = all.map(_.spanCount).sum,
+      errorCount = all.map(_.errorCount).sum,
+      wallMillis = all.map(_.wallMillis).sum)
+    val json =
+      s"""{"runId":"${total.runId}","chunks":${all.length},""" +
+        s""""sourceSnapshot":"${total.sourceSnapshot}","rowCount":${total.rowCount},""" +
+        s""""spanCount":${total.spanCount},"errorCount":${total.errorCount},""" +
+        s""""wallMillis":${total.wallMillis}}"""
+    val tmp = manifestDir(outDir).resolve(".snapshot.json.tmp")
+    Files.writeString(tmp, json)
+    Files.move(tmp, manifestDir(outDir).resolve("snapshot.json"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    total
+  }
+
   /** Source snapshot id: stable fingerprint of the input's files/shape —
     * recorded in lineage so a manifest can be traced to its input.
     */

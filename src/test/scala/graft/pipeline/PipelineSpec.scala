@@ -76,6 +76,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(again.committed.isEmpty && again.skipped.size == 4)
   }
 
+  test("maintenance: vacuum removes orphans, compact snapshots the manifest") {
+    val outDir = Files.createTempDirectory("graft_maint").toString
+    Commit.run(spark, docs, media, outDir, "run-m", chunks = 2, partitions = 8)
+    // plant an orphan chunk dir (a write that died pre-commit)
+    val orphan = java.nio.file.Paths.get(outDir, "data", "chunk=9")
+    Files.createDirectories(orphan)
+    Files.writeString(orphan.resolve("part-zombie.parquet"), "not parquet")
+    assert(Commit.vacuum(outDir) == Seq(9))
+    assert(!Files.exists(orphan))
+    // committed chunks untouched
+    assert(Commit.readOutput(spark, outDir).count() == golden.count())
+    val snap = Commit.compact(outDir)
+    assert(snap.rowCount == golden.count())
+    assert(Files.exists(Commit.manifestDir(outDir).resolve("snapshot.json")))
+  }
+
   test("poison media payload yields an error span, not a crashed job") {
     import spark.implicits._
     val badDocs = Seq(
