@@ -51,7 +51,15 @@ object CorpusGen {
       invoice_date: String, // ISO, "" if the doc has no date line
       grand_total: java.math.BigDecimal,
       taxes: java.math.BigDecimal,
-      final_total: java.math.BigDecimal)
+      final_total: java.math.BigDecimal,
+      items: Seq[GoldenItem] = Nil)
+
+  /** Golden line item (description, qty, unit price, total). */
+  case class GoldenItem(
+      description: String,
+      quantity: Int,
+      unit_price: java.math.BigDecimal,
+      total: java.math.BigDecimal)
 
   private val vocab = Array(
     "ledger", "batch", "carton", "freight", "pallet", "invoice", "remit",
@@ -139,10 +147,22 @@ object CorpusGen {
     val totalLines =
       if (layoutA) Seq(s"Subtotal: ${m(sub)}", s"Tax: ${m(tax)}", s"Total: ${m(tot)}")
       else Seq(s"Total: ${m(tot)}", s"Subtotal: ${m(sub)}", s"Tax: ${m(tax)}")
+    // line items as whitespace-cell rows (the reference's layout-table
+    // stand-in treats a text line's words as table cells,
+    // ocr_engine.py:330-340); ~60% of invoices carry 1-4 items
+    val itemNames = Array("Widget", "Gadget", "Flange", "Bracket", "Gasket")
+    val items = if (rng.nextInt(10) < 6) (0 until 1 + rng.nextInt(4)).map { _ =>
+      val qty = 1 + rng.nextInt(9)
+      val unit = new java.math.BigDecimal(50 + rng.nextInt(9950)).movePointLeft(2)
+      GoldenItem(itemNames(rng.nextInt(itemNames.length)), qty, unit,
+        unit.multiply(new java.math.BigDecimal(qty)).setScale(2))
+    } else Nil
+    val itemLines = items.map(it =>
+      s"${it.description} ${it.quantity} ${it.unit_price.toPlainString} ${it.total.toPlainString}")
     val lines = Seq(vendor, street, s"$city, $state $zip",
       s"Invoice Number: $number") ++
       (if (hasDate) Seq(s"Invoice Date: $dateStr") else Nil) ++
-      totalLines ++ Seq("Thank you for your business")
+      itemLines ++ totalLines ++ Seq("Thank you for your business")
     val golden = GoldenInvoice(
       filename = filename,
       invoice_number = number,
@@ -152,7 +172,8 @@ object CorpusGen {
       grand_total = sub,
       taxes = tax,
       // the reference's `total` regex finds "Subtotal" first in layout A
-      final_total = if (layoutA) sub else tot)
+      final_total = if (layoutA) sub else tot,
+      items = items)
     (lines.mkString("\n"), golden)
   }
 
@@ -162,7 +183,9 @@ object CorpusGen {
     (text.split("\n").toSeq.map(GlyphFont.sanitize), golden.copy(
       vendor_name = GlyphFont.sanitize(golden.vendor_name),
       street = GlyphFont.sanitize(golden.street),
-      city = GlyphFont.sanitize(golden.city)))
+      city = GlyphFont.sanitize(golden.city),
+      items = golden.items.map(it =>
+        it.copy(description = GlyphFont.sanitize(it.description)))))
   }
 
   // -------------------------------------------------------------------------
@@ -310,10 +333,12 @@ object CorpusGen {
       fixtures.flatMap(_.invoices).map(g =>
         (g.filename, g.invoice_number, g.vendor_name, g.street, g.city,
           g.state, g.postal_code, g.invoice_date,
-          BigDecimal(g.grand_total), BigDecimal(g.taxes), BigDecimal(g.final_total)))
+          BigDecimal(g.grand_total), BigDecimal(g.taxes), BigDecimal(g.final_total),
+          g.items.map(it => (it.description, it.quantity,
+            BigDecimal(it.unit_price), BigDecimal(it.total)))))
         .toDF("filename", "invoice_number", "vendor_name", "street", "city",
           "state", "postal_code", "invoice_date", "grand_total", "taxes",
-          "final_total")
+          "final_total", "items")
         .write.mode("overwrite").parquet(s"$dir/golden_invoices")
     } finally fixtures.unpersist()
   }

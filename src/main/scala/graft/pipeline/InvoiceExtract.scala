@@ -33,6 +33,7 @@ object InvoiceExtract {
       grand_total: Option[BigDecimal],
       taxes: Option[BigDecimal],
       final_total: Option[BigDecimal],
+      items: Seq[graft.model.InvoiceItem],
       pages: Int)
 
   private def toRow(inv: Invoice): InvoiceRow = InvoiceRow(
@@ -47,6 +48,7 @@ object InvoiceExtract {
     grand_total = inv.grand_total.map(_.setScale(2)),
     taxes = inv.taxes.map(_.setScale(2)),
     final_total = inv.final_total.map(_.setScale(2)),
+    items = inv.items,
     pages = inv.pages)
 
   /** Extract one invoice per text span of the extraction output.
@@ -72,9 +74,20 @@ object InvoiceExtract {
       // so spread the kernel map across all cores explicitly
       .repartition(spark.sparkContext.defaultParallelism * 4)
     texts.mapPartitions(_.map { case (filename, text) =>
-      toRow(FieldExtract.extractFromText(text, filename, asOf = asOf))
+      toRow(FieldExtract.extractFromText(text, filename,
+        tables = textTables(text), asOf = asOf))
     })
   }
+
+  /** Layout-table stand-in over extracted text: each line's
+    * whitespace-separated words are one row of cells — the reference's
+    * paragraph→row-of-word-cells table extraction (ocr_engine.py:330-340,
+    * equivalently OcrStandin.tableRows). The GCV items path then skips
+    * the header row (the vendor-name line) and rows whose qty cell
+    * isn't an int self-skip (data_extractor.py:446-468).
+    */
+  def textTables(text: String): Seq[Seq[Seq[String]]] =
+    Seq(text.split("\n").toSeq.map(_.split(" ").toSeq))
 
   /** The P2 fallback lattice: entity path accepted iff the validity
     * gate passes, else the regex path over raw text.
@@ -99,6 +112,15 @@ object InvoiceExtract {
     def money(c: org.apache.spark.sql.Column) =
       // %.2f needs a double; a 2-dp decimal is exactly representable
       when(c.isNotNull, format_string("%.2f", c.cast("double"))).otherwise(lit(""))
+    val qtySum = coalesce(aggregate(col("items"), lit(0L),
+      (acc, it) => acc + coalesce(it.getField("quantity").cast("long"), lit(0L))),
+      lit(0L))
+    val centsSum = coalesce(aggregate(col("items"), lit(0L),
+      (acc, it) => acc + coalesce(
+        round(it.getField("total") * 100).cast("long"), lit(0L))),
+      lit(0L))
+    def centsStr(c: org.apache.spark.sql.Column) =
+      format_string("%d.%02d", floor(c / 100).cast("long"), c % 100)
     invoices.select(
       col("filename").as("Filename"),
       coalesce(col("invoice_number"), lit("")).as("Invoice Number"),
@@ -111,9 +133,15 @@ object InvoiceExtract {
       money(col("grand_total")).as("Grand Total"),
       money(col("taxes")).as("Taxes"),
       money(col("final_total")).as("Final Total"),
-      lit(0).as("Quantity"),
-      lit(0).as("Unit Price"),
-      lit(0).as("Total"),
+      // A1 item rollup as array HOFs (per-row, stays pipelined —
+      // exporter.py:51-65: sum qty, sum totals, avg unit = sum/sum).
+      // Integer cents: decimal HOF accumulators widen per step and
+      // break aggregate's fixed zero type.
+      qtySum.as("Quantity"),
+      // reference displays avg = total/qty through %.2f, which ROUNDS
+      when(qtySum > 0, centsStr(round(centsSum / qtySum).cast("long")))
+        .otherwise("0.00").as("Unit Price"),
+      centsStr(centsSum).as("Total"),
       col("pages").as("Pages"))
   }
 

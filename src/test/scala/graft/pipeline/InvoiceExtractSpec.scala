@@ -42,7 +42,16 @@ class InvoiceExtractSpec extends AnyFunSuite {
         not(col("g.invoice_date") <=> coalesce(col("e.invoice_date"), lit(""))) ||
         not(col("g.grand_total").cast("decimal(18,2)") <=> col("e.grand_total")) ||
         not(col("g.taxes").cast("decimal(18,2)") <=> col("e.taxes")) ||
-        not(col("g.final_total").cast("decimal(18,2)") <=> col("e.final_total")))
+        not(col("g.final_total").cast("decimal(18,2)") <=> col("e.final_total")) ||
+        not(size(col("g.items")) <=> size(col("e.items"))) ||
+        not(transform(col("g.items"), it => struct(
+          it.getField("_1").as("d"), it.getField("_2").as("q"),
+          it.getField("_3").cast("decimal(18,2)").as("u"),
+          it.getField("_4").cast("decimal(18,2)").as("t"))) <=>
+          transform(col("e.items"), it => struct(
+            it.getField("description").as("d"), it.getField("quantity").as("q"),
+            it.getField("unit_price").cast("decimal(18,2)").as("u"),
+            it.getField("total").cast("decimal(18,2)").as("t")))))
     val bad = mismatches.limit(5).collect()
     assert(bad.isEmpty, s"mismatching invoices:\n${bad.mkString("\n")}")
   }
