@@ -40,7 +40,11 @@ object Queries {
         IE.invoiceNumber(text).as("inv_no"))
     }),
 
-    // F2 — totals extraction incl. the Subtotal/Total quirk
+    // F2 — totals extraction incl. the Subtotal/Total quirk.
+    // Comparable columns are integer cents (BIGINT): DECIMAL outputs
+    // hash differently across the driver's normalizers even when values
+    // match (round-1 q02/q03 were the only hash-mismatching rows);
+    // DECIMAL round-trips stay covered in FieldExtractSpec.
     "q02_totals_quirk" -> ((s, dir) => {
       val k = col("o_orderkey")
       val text = concat(
@@ -48,12 +52,12 @@ object Queries {
         lit("\nTax: $"), format_string("%d.%02d", (k % 900) + 10, (k * 7) % 100),
         lit("\nTotal: $"), format_string("%d.%02d", (k % 9900) + 110, (k * 3) % 100))
       t(s, dir, "orders").select(col("o_orderkey"),
-        IE.grandTotal(text).as("grand_total"),
-        IE.taxes(text).as("tax_amt"),
-        IE.finalTotal(text).as("final_total"))
+        (IE.grandTotal(text) * 100).cast("long").as("grand_cents"),
+        (IE.taxes(text) * 100).cast("long").as("tax_cents"),
+        (IE.finalTotal(text) * 100).cast("long").as("final_cents"))
     }),
 
-    // F3 — decimal parsing with junk stripping
+    // F3 — decimal parsing with junk stripping (cents, see q02 note)
     "q03_parse_decimal" -> ((s, dir) => {
       val k = col("c_custkey")
       val raw = concat(
@@ -61,7 +65,7 @@ object Queries {
         lit("USD $"), format_string("%d.%02d", (k % 100000) + 1, k % 100),
         lit(" net"))
       t(s, dir, "customer").select(col("c_custkey"),
-        IE.parseDecimal(raw).as("amount"))
+        (IE.parseDecimal(raw) * 100).cast("long").as("amount_cents"))
     }),
 
     // F4/F5 — vendor + address line extraction
@@ -264,15 +268,18 @@ object Queries {
       SimilarityOps.bruteForceTopK(t(s, dir, "embeddings"), "vec_id",
         "embedding", queryId = 0L, k = 10)),
 
-    // dedup: MinHash+LSH near-dup pairs (no SQL oracle: xxhash64 is
-    // engine-specific; rows-only check on a corpus with planted dups)
+    // dedup: MinHash+LSH near-dup pairs on a corpus with planted dups.
+    // Engine-neutral md5-derived hash so the ENTIRE lattice (shingle →
+    // minhash → band bucket → candidate join → Jaccard verify) is
+    // reproduced by the DuckDB oracle; the engine default stays
+    // xxhash64 (DedupOps.minhashLshPairs neutral=false).
     "q24_minhash_lsh" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
         .filter(col("doc_id") < 200)
       val planted = d.unionByName(
         d.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
       DedupOps.minhashLshPairs(planted, "doc_id", "text",
-        k = 32, bands = 8, thresholdX1M = 900000L)
+        k = 32, bands = 8, thresholdX1M = 900000L, neutral = true)
     }),
 
     // dedup: SimHash + hamming distance to the next doc (rows-only)
@@ -289,7 +296,25 @@ object Queries {
     // similarity: LSH-bucketed ANN (scale path; rows-only)
     "q26_lsh_topk" -> ((s, dir) =>
       SimilarityOps.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
-        queryId = 0L, k = 10, bits = 8))
+        queryId = 0L, k = 10, bits = 8)),
+
+    // dedup: embedding-cosine near-dup pairs on a corpus with planted
+    // exact dups (vec_id + 1e6). Oracle-exact twin of the LSH scale
+    // path: the self-join here is the sf-scale correctness baseline;
+    // at 10^12 rows the LSH-bucketed variant (q26) replaces the
+    // all-pairs join.
+    "q27_embedding_neardup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id"), col("embedding"))
+      val p = e.unionByName(e.select(
+        (col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+      val a = p.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+      val b = p.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(SimilarityOps.cosine(col("emb_a"), col("emb_b")), 6).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.9)
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -303,14 +328,14 @@ object Queries {
     "q02_totals_quirk" -> {
       val text = "'Subtotal: $' || printf('%d.%02d', (o_orderkey % 9000) + 100, o_orderkey % 100) || chr(10) || 'Tax: $' || printf('%d.%02d', (o_orderkey % 900) + 10, (o_orderkey * 7) % 100) || chr(10) || 'Total: $' || printf('%d.%02d', (o_orderkey % 9900) + 110, (o_orderkey * 3) % 100)"
       s"""SELECT o_orderkey,
-          TRY_CAST(replace(NULLIF(regexp_extract($text, '(?i)subtotal[:\\s]*\\$$?([0-9,]+\\.[0-9]{2})', 1), ''), ',', '') AS DECIMAL(18,2)) AS grand_total,
-          TRY_CAST(replace(NULLIF(regexp_extract($text, '(?i)tax[:\\s]*\\$$?([0-9,]+\\.[0-9]{2})', 1), ''), ',', '') AS DECIMAL(18,2)) AS tax_amt,
-          TRY_CAST(replace(NULLIF(regexp_extract($text, '(?i)total[:\\s]*\\$$?([0-9,]+\\.[0-9]{2})', 1), ''), ',', '') AS DECIMAL(18,2)) AS final_total
+          CAST(TRY_CAST(replace(NULLIF(regexp_extract($text, '(?i)subtotal[:\\s]*\\$$?([0-9,]+\\.[0-9]{2})', 1), ''), ',', '') AS DECIMAL(18,2)) * 100 AS BIGINT) AS grand_cents,
+          CAST(TRY_CAST(replace(NULLIF(regexp_extract($text, '(?i)tax[:\\s]*\\$$?([0-9,]+\\.[0-9]{2})', 1), ''), ',', '') AS DECIMAL(18,2)) * 100 AS BIGINT) AS tax_cents,
+          CAST(TRY_CAST(replace(NULLIF(regexp_extract($text, '(?i)total[:\\s]*\\$$?([0-9,]+\\.[0-9]{2})', 1), ''), ',', '') AS DECIMAL(18,2)) * 100 AS BIGINT) AS final_cents
           FROM orders"""
     },
 
     "q03_parse_decimal" ->
-      """SELECT c_custkey, TRY_CAST(NULLIF(regexp_replace(CASE WHEN c_custkey % 5 = 0 THEN '-' ELSE '' END || 'USD $' || printf('%d.%02d', (c_custkey % 100000) + 1, c_custkey % 100) || ' net', '[^0-9.-]', '', 'g'), '') AS DECIMAL(18,2)) AS amount FROM customer""",
+      """SELECT c_custkey, CAST(TRY_CAST(NULLIF(regexp_replace(CASE WHEN c_custkey % 5 = 0 THEN '-' ELSE '' END || 'USD $' || printf('%d.%02d', (c_custkey % 100000) + 1, c_custkey % 100) || ' net', '[^0-9.-]', '', 'g'), '') AS DECIMAL(18,2)) * 100 AS BIGINT) AS amount_cents FROM customer""",
 
     "q04_vendor_address" -> {
       val text = "c_name || chr(10) || (CASE WHEN c_custkey % 7 = 0 THEN '' ELSE '12 Main St' END) || chr(10) || (CASE WHEN c_custkey % 11 = 0 THEN 'PO BOX 7' ELSE 'Springfield, IL ' || lpad(CAST((c_custkey % 89999) + 10000 AS VARCHAR), 5, '0') END)"
@@ -464,8 +489,37 @@ object Queries {
            SELECT vec_id, round(list_cosine_similarity(embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)), 6) AS cos_sim,
                   row_number() OVER (ORDER BY round(list_cosine_similarity(embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)), 6) DESC, vec_id) AS rank
            FROM embeddings)
-         WHERE rank <= 10"""
-    // q24_minhash_lsh / q25_simhash / q26_lsh_topk: engine-hash-specific
-    // (xxhash64); driver records rows-only checks.
+         WHERE rank <= 10""",
+
+    // Full MinHash+LSH lattice twin: shingle → per-seed min of the
+    // md5-derived 64-bit hash → banded buckets → distinct candidate
+    // pairs → char-3-gram Jaccard verify. Mirrors DedupOps with
+    // neutral=true (k=32, bands=8, rows/band=4, threshold 0.9).
+    "q24_minhash_lsh" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+         p AS (SELECT doc_id, text FROM base UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM base),
+         tok AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM p),
+         sh AS (SELECT doc_id, text,
+           CASE WHEN len(toks) >= 3
+             THEN list_distinct([concat_ws(' ', toks[i], toks[i+1], toks[i+2]) FOR i IN range(1, len(toks) - 1)])
+             ELSE [array_to_string(toks, ' ')] END AS shingles FROM tok),
+         sig AS (SELECT doc_id,
+           [list_min([CAST('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || s), 1, 15) AS BIGINT) FOR s IN shingles]) FOR seed IN range(0, 32)] AS sig
+           FROM sh),
+         bands AS (SELECT doc_id, b,
+           md5(array_to_string(list_transform(list_slice(sig, b*4+1, b*4+4), x -> CAST(x AS VARCHAR)), ',')) AS bucket
+           FROM sig, range(0, 8) r(b)),
+         pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM bands a JOIN bands b ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         ng AS (SELECT doc_id, list_distinct([substr(text, i, 3) FOR i IN range(1, greatest(length(text) - 1, 1))]) AS g FROM p)
+         SELECT * FROM (
+           SELECT id_a, id_b,
+             CASE WHEN (len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g))) > 0
+               THEN CAST(FLOOR(len(list_intersect(ga.g, gb.g)) * 1000000 / (len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g)))) AS BIGINT)
+               ELSE 1000000 END AS jaccard_x1m
+           FROM pairs JOIN ng ga ON ga.doc_id = id_a JOIN ng gb ON gb.doc_id = id_b)
+         WHERE jaccard_x1m >= 900000"""
+    // q25_simhash / q26_lsh_topk: engine-hash-specific (xxhash64);
+    // driver records rows-only checks.
   )
 }

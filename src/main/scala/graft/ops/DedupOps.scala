@@ -36,47 +36,79 @@ object DedupOps {
       .otherwise(array(concat_ws(" ", tokens))))
   }
 
+  /** Engine-neutral 64-bit hash (md5-derived): Spark and DuckDB compute
+    * identical values, so minhash pipelines built on it are
+    * oracle-checkable end-to-end. 15 hex chars = 60 bits — always
+    * non-negative, never overflows LONG. DuckDB twin:
+    * `CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)`.
+    */
+  def md5Hash64(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** MinHash signature as an array<long> of k per-seed minima over
     * 3-token shingles — computed per-row with HOFs (zero shuffle).
+    * `neutral = true` swaps xxhash64 for the md5-derived hash so the
+    * signature (and every LSH decision downstream) is reproducible in
+    * DuckDB; xxhash64 stays the default (faster) engine hash.
     */
-  def minhashSignature(text: Column, k: Int): Column = {
+  def minhashSignature(text: Column, k: Int, neutral: Boolean = false): Column = {
     val shingles = tokenShingles(text)
     transform(sequence(lit(0), lit(k - 1)), seed =>
-      array_min(transform(shingles, t => xxhash64(t, seed))))
+      array_min(transform(shingles, t =>
+        if (neutral) md5Hash64(concat(seed.cast("string"), lit(":"), t))
+        else xxhash64(t, seed))))
   }
 
   /** LSH band buckets: the k-long signature split into `bands` groups
     * whose hashes become join keys; near-dups collide in ≥1 band whp.
+    * Neutral buckets are md5 of the comma-joined slice (string key).
     */
-  def lshBands(sig: Column, k: Int, bands: Int): Column = {
+  def lshBands(sig: Column, k: Int, bands: Int, neutral: Boolean = false): Column = {
     val rows = k / bands
-    transform(sequence(lit(0), lit(bands - 1)), b =>
-      struct(b.as("band"), xxhash64(slice(sig, b * lit(rows) + lit(1), lit(rows))).as("bucket")))
+    transform(sequence(lit(0), lit(bands - 1)), b => {
+      val sl = slice(sig, b * lit(rows) + lit(1), lit(rows))
+      val bucket =
+        if (neutral) md5(concat_ws(",", transform(sl, x => x.cast("string"))))
+          .cast("string").as("bucket")
+        else xxhash64(sl).cast("string").as("bucket")
+      struct(b.as("band"), bucket)
+    })
   }
 
   /** Candidate near-dup pairs via MinHash+LSH, verified by n-gram
     * Jaccard ≥ `thresholdX1M`. Returns (id_a, id_b, jaccard_x1m),
     * id_a < id_b.
+    *
+    * Shuffle discipline (the 100 TB budget): only (id, band-bucket)
+    * pairs ride the band explode and the candidate join — document
+    * bodies do NOT (round 1 shuffled full texts ×bands through the
+    * join and distinct'd strings instead of ids; at scale that
+    * replicates every document body `bands` times). Texts are
+    * re-joined exactly once, per DISTINCT candidate pair, for the
+    * Jaccard verification.
     */
   def minhashLshPairs(
       df: DataFrame, idCol: String, textCol: String,
-      k: Int = 32, bands: Int = 8, thresholdX1M: Long = 600000L): DataFrame = {
+      k: Int = 32, bands: Int = 8, thresholdX1M: Long = 600000L,
+      neutral: Boolean = false): DataFrame = {
     // two-step select: aliasing and referencing in one projection would
     // trip Spark's lateral-column-alias resolution on same-named columns
     val withSig = df.select(col(idCol).as("id"), col(textCol).as("text"),
-      minhashSignature(col(textCol), k).as("sig"))
-    val withBands = withSig.select(col("id"), col("text"),
-      explode(lshBands(col("sig"), k, bands)).as("bb"))
-    val a = withBands.select(col("id").as("id_a"), col("text").as("text_a"),
-      col("bb").as("bb_a"))
-    val b = withBands.select(col("id").as("id_b"), col("text").as("text_b"),
-      col("bb").as("bb_b"))
-    // dedup candidate pairs BEFORE the (expensive) Jaccard verification:
-    // on vocabulary-uniform corpora many bands collide for the same pair,
-    // and verifying per banded row instead of per pair is quadratic waste
-    a.join(b, col("bb_a") === col("bb_b") && col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("text_a"), col("text_b"))
+      minhashSignature(col(textCol), k, neutral).as("sig"))
+    val withBands = withSig.select(col("id"),
+      explode(lshBands(col("sig"), k, bands, neutral)).as("bb"))
+    val a = withBands.select(col("id").as("id_a"), col("bb").as("bb_a"))
+    val b = withBands.select(col("id").as("id_b"), col("bb").as("bb_b"))
+    // dedup candidate id pairs BEFORE the (expensive) Jaccard verify:
+    // on vocabulary-uniform corpora many bands collide for the same pair
+    val pairs = a
+      .join(b, col("bb_a") === col("bb_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
+    val texts = withSig.select(col("id"), col("text"))
+    pairs
+      .join(texts.select(col("id").as("id_a"), col("text").as("text_a")), Seq("id_a"))
+      .join(texts.select(col("id").as("id_b"), col("text").as("text_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         TextOps.ngramJaccardX1M(col("text_a"), col("text_b"), 3).as("jaccard_x1m"))
       .filter(col("jaccard_x1m") >= thresholdX1M)

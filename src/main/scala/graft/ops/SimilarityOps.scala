@@ -24,10 +24,30 @@ object SimilarityOps {
     when(d > 0, dot(a, b) / d).otherwise(lit(0.0))
   }
 
+  /** Rank the k rows of an already-limited top-k result WITHOUT a
+    * global window: rank = 1 + count of strictly-better rows, via a
+    * broadcast self-join over the k-row result. A
+    * `row_number().over(Window.orderBy(...))` with no partition moves
+    * the ENTIRE scored input to one partition (the round-1
+    * scale-killer); here the full input is reduced by a distributed
+    * TakeOrderedAndProject first and only k rows ever meet the join.
+    */
+  private def withRank(top: DataFrame, idCol: String): DataFrame = {
+    val better = top.select(col(idCol).as("_bid"), col("cos_sim").as("_bsim"))
+    top.join(broadcast(better),
+        col("_bsim") > col("cos_sim") ||
+          (col("_bsim") === col("cos_sim") && col("_bid") < col(idCol)),
+        "left")
+      .groupBy(col(idCol), col("cos_sim"))
+      .agg((count(col("_bid")) + 1).cast("int").as("rank"))
+  }
+
   /** Exact top-k by cosine against one query vector (broadcast as a
     * literal-free 1-row cross join — Spark broadcasts the tiny side).
     * Ranking uses cosine rounded to 6 dp with id tie-break so results
-    * are stable across engines and summation orders.
+    * are stable across engines and summation orders. The top-k itself
+    * is `orderBy(...).limit(k)` → TakeOrderedAndProject: each partition
+    * keeps its local k, the driver merges — distributed at any scale.
     */
   def bruteForceTopK(
       embeddings: DataFrame, idCol: String, vecCol: String,
@@ -38,11 +58,8 @@ object SimilarityOps {
       .join(broadcast(query))
       .select(col(idCol),
         round(cosine(col(vecCol), col("query_vec")), 6).as("cos_sim"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("cos_sim").desc, col(idCol).asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(idCol), col("cos_sim"), col("rank"))
+    val top = scored.orderBy(col("cos_sim").desc, col(idCol).asc).limit(k)
+    withRank(top, idCol).select(col(idCol), col("cos_sim"), col("rank"))
   }
 
   /** Random-hyperplane LSH signature: bit i = sign of dot(v, h_i) where
@@ -86,13 +103,11 @@ object SimilarityOps {
         .as("probe_sig"))
     val candidates = withSig.join(broadcast(probes),
       col("sig") === col("probe_sig"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("cos_sim").desc, col(idCol).asc)
-    candidates
+    val top = candidates
       .select(col(idCol),
         round(cosine(col(vecCol), col("query_vec")), 6).as("cos_sim"))
       .distinct()
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .orderBy(col("cos_sim").desc, col(idCol).asc).limit(k)
+    withRank(top, idCol).select(col(idCol), col("cos_sim"), col("rank"))
   }
 }

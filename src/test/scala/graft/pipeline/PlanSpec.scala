@@ -58,6 +58,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("AdaptiveSparkPlan"), p.take(500))
   }
 
+  test("top-k similarity is a distributed TakeOrderedAndProject, never a global window") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val brute = plan(graft.ops.SimilarityOps.bruteForceTopK(
+      emb, "vec_id", "embedding", queryId = 0L, k = 10))
+    assert(brute.contains("TakeOrderedAndProject"), brute.take(3000))
+    assert(!brute.contains("Window"), brute.take(3000))
+    val lsh = plan(graft.ops.SimilarityOps.lshTopK(
+      emb, "vec_id", "embedding", queryId = 0L, k = 10, bits = 8))
+    assert(lsh.contains("TakeOrderedAndProject"), lsh.take(3000))
+    assert(!lsh.contains("Window"), lsh.take(3000))
+  }
+
   test("resume anti-join prunes committed chunks at the scan") {
     val docs = spark.read.parquet(s"$dir/docs")
     val chunkFilter = docs.filter(
