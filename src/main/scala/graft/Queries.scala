@@ -298,6 +298,48 @@ object Queries {
       SimilarityOps.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
         queryId = 0L, k = 10, bits = 8)),
 
+    // V10 — categorized warnings map<category, array<msg>>, rendered as
+    // a deterministic 'cat=msg;msg|cat=...' string for cross-engine
+    // parity (map columns don't hash portably). Fields synthesized from
+    // orders; every category except filename/taxes can fire.
+    "q28_categorized_warnings" -> ((s, dir) => {
+      val k = col("o_orderkey")
+      val cents = round(col("o_totalprice") * 100).cast("long")
+      def decOf(c: org.apache.spark.sql.Column) =
+        concat(when(c < 0, "-").otherwise(""),
+          format_string("%d.%02d", floor(abs(c) / 100).cast("long"), abs(c) % 100))
+          .cast("decimal(18,2)")
+      val sign = when(k % 17 === 0, -1L).otherwise(1L)
+      val taxC = floor(cents / 10).cast("long")
+      val num = when(k % 7 === 0, lit(null).cast("string"))
+        .when(k % 13 === 0, lit("BAD!"))
+        .otherwise(concat(lit("INV-"), lpad(k.cast("string"), 7, "0")))
+      val vendorName = when(k % 5 === 0, "").otherwise("Acme Supply Co")
+      val street = when(k % 3 === 0, "").otherwise("12 Main St")
+      val state = when(k % 15 === 0, "").otherwise("IL")
+      val country = when(k % 2 === 0, "").otherwise("US")
+      val date = when(k % 4 === 0, lit(null).cast("date"))
+        .otherwise(date_add(to_date(col("o_orderdate")),
+          when(k % 10 === 0, 30000).otherwise(0)))
+      val grand = when(k % 11 === 0, lit(null).cast("decimal(18,2)"))
+        .otherwise(decOf(cents * sign))
+      val taxes = decOf(taxC)
+      val fin = when(k % 19 === 0, lit(null).cast("decimal(18,2)"))
+        .otherwise(decOf(cents * sign + taxC + when(k % 6 === 0, 2L).otherwise(0L)))
+      val pages = when(k % 9 === 0, lit(0)).otherwise(lit(1))
+      val noItems = expr("cast(array() as array<struct<" +
+        "description:string,quantity:int,unit_price:decimal(18,2),total:decimal(18,2)>>)")
+      val m = VE.categorizedWarnings(
+        concat(lit("f"), k.cast("string")), num, vendorName,
+        street, lit("Springfield"), state, lit("62704"), country,
+        date, lit(AsOf).cast("date"), grand, taxes, fin, pages, noItems)
+      val rendered = concat_ws("|", VE.CategoryOrder.map { c =>
+        val v = element_at(m, lit(c))
+        when(size(v) > 0, concat(lit(c), lit("="), array_join(v, ";")))
+      }: _*)
+      t(s, dir, "orders").select(k, rendered.as("warnings_by_category"))
+    }),
+
     // dedup: embedding-cosine near-dup pairs on a corpus with planted
     // exact dups (vec_id + 1e6). Oracle-exact twin of the LSH scale
     // path: the self-join here is the sf-scale correctness baseline;
@@ -475,6 +517,45 @@ object Queries {
                 THEN CAST(FLOOR(len(list_intersect(a.ng, b.ng)) * 1000000 / (len(a.ng) + len(b.ng) - len(list_intersect(a.ng, b.ng)))) AS BIGINT)
                 ELSE 1000000 END AS jaccard_x1m
          FROM g a JOIN g b ON b.doc_id = a.doc_id + 1""",
+
+    "q28_categorized_warnings" ->
+      """WITH f AS (
+           SELECT o_orderkey AS k,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(FLOOR(CAST(round(o_totalprice * 100) AS BIGINT) / 10) AS BIGINT) AS taxc,
+             CASE WHEN o_orderkey % 17 = 0 THEN -1 ELSE 1 END AS sgn,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL WHEN o_orderkey % 13 = 0 THEN 'BAD!' ELSE 'INV-' || lpad(CAST(o_orderkey AS VARCHAR), 7, '0') END AS num,
+             CASE WHEN o_orderkey % 5 = 0 THEN '' ELSE 'Acme Supply Co' END AS vname,
+             CASE WHEN o_orderkey % 3 = 0 THEN '' ELSE '12 Main St' END AS street,
+             CASE WHEN o_orderkey % 15 = 0 THEN '' ELSE 'IL' END AS st,
+             CASE WHEN o_orderkey % 2 = 0 THEN '' ELSE 'US' END AS country,
+             CASE WHEN o_orderkey % 4 = 0 THEN NULL ELSE CAST(o_orderdate AS DATE) + (CASE WHEN o_orderkey % 10 = 0 THEN 30000 ELSE 0 END) END AS d,
+             CASE WHEN o_orderkey % 9 = 0 THEN 0 ELSE 1 END AS pages
+           FROM orders),
+         g AS (
+           SELECT *,
+             CASE WHEN k % 11 = 0 THEN NULL ELSE CAST((CASE WHEN cents*sgn < 0 THEN '-' ELSE '' END || printf('%d.%02d', CAST(FLOOR(abs(cents*sgn)/100) AS BIGINT), abs(cents*sgn) % 100)) AS DECIMAL(18,2)) END AS grand,
+             CAST(printf('%d.%02d', CAST(FLOOR(taxc/100) AS BIGINT), taxc % 100) AS DECIMAL(18,2)) AS taxes,
+             CASE WHEN k % 19 = 0 THEN NULL ELSE CAST((CASE WHEN cents*sgn + taxc + (CASE WHEN k % 6 = 0 THEN 2 ELSE 0 END) < 0 THEN '-' ELSE '' END || printf('%d.%02d', CAST(FLOOR(abs(cents*sgn + taxc + (CASE WHEN k % 6 = 0 THEN 2 ELSE 0 END))/100) AS BIGINT), abs(cents*sgn + taxc + (CASE WHEN k % 6 = 0 THEN 2 ELSE 0 END)) % 100)) AS DECIMAL(18,2)) END AS fin
+           FROM f)
+         SELECT k AS o_orderkey,
+           concat_ws('|',
+             CASE WHEN num IS NULL OR trim(num) = '' THEN 'invoice_number=Invoice number is missing'
+                  WHEN NOT regexp_matches(num, '^[A-Za-z0-9-]{5,}$') THEN 'invoice_number=Unusual invoice number format: ' || num END,
+             NULLIF('vendor=' || concat_ws(';',
+               CASE WHEN vname = '' THEN 'Vendor name is missing' END,
+               CASE WHEN street = '' THEN 'Vendor street is missing' END,
+               CASE WHEN st = '' THEN 'Vendor state is missing' END,
+               CASE WHEN country = '' THEN 'Vendor country is missing' END), 'vendor='),
+             CASE WHEN d IS NULL THEN 'invoice_date=Invoice date is missing'
+                  WHEN d > DATE '2025-04-18' THEN 'invoice_date=Invoice date ' || strftime(d, '%Y-%m-%d') || ' is in the future' END,
+             CASE WHEN grand IS NULL THEN 'grand_total=Grand total is missing' WHEN grand < 0 THEN 'grand_total=Grand total is negative' END,
+             CASE WHEN fin IS NULL THEN 'final_total=Final total is missing' WHEN fin < 0 THEN 'final_total=Final total is negative' END,
+             CASE WHEN grand IS NOT NULL AND taxes IS NOT NULL AND fin IS NOT NULL AND abs(grand + taxes - fin) > 0.01
+                  THEN 'totals=Total amounts may not match: ' || CAST(grand AS VARCHAR) || ' + ' || CAST(taxes AS VARCHAR) || ' ≈ ' || CAST(fin AS VARCHAR) END,
+             CASE WHEN pages < 1 THEN 'pages=Unusual number of pages: ' || CAST(pages AS VARCHAR) END,
+             'items=No line items found in the invoice') AS warnings_by_category
+         FROM g""",
 
     "q27_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),

@@ -79,6 +79,39 @@ object ValidationExprs {
     concat_ws("|", pieces: _*)
   }
 
+  /** V10 — categorized warnings as `map<string, array<string>>`,
+    * mirroring the reference's per-category dict exactly
+    * (validator.py:17-33): keys are the ten category names in the
+    * reference's insertion order; each value is that category's
+    * (possibly empty) warning list. `vendor` carries both the name and
+    * the five address checks, as in `_validate_vendor`.
+    */
+  def categorizedWarnings(filename: Column, num: Column, vendorName: Column,
+      street: Column, city: Column, state: Column, postal: Column,
+      country: Column, date: Column, asOf: Column, grand: Column,
+      taxes: Column, fin: Column, pages: Column, items: Column): Column = {
+    def cat(ws: Seq[Column]): Column = array_compact(array(ws: _*))
+    map_from_arrays(
+      array(CategoryOrder.map(lit): _*),
+      array(
+        cat(Seq(filenameWarning(filename))),
+        cat(Seq(invoiceNumberWarning(num))),
+        cat(vendorNameWarning(vendorName) +:
+          addressWarnings(street, city, state, postal, country)),
+        cat(Seq(dateWarning(date, asOf))),
+        cat(Seq(amountWarning(grand, "Grand total"))),
+        cat(Seq(amountWarning(taxes, "Taxes"))),
+        cat(Seq(amountWarning(fin, "Final total"))),
+        cat(Seq(totalsWarning(grand, taxes, fin))),
+        cat(Seq(pagesWarning(pages))),
+        itemWarningsArray(items)))
+  }
+
+  /** The reference's category keys, insertion order (validator.py:17-30). */
+  val CategoryOrder: Seq[String] = Seq(
+    "filename", "invoice_number", "vendor", "invoice_date", "grand_total",
+    "taxes", "final_total", "totals", "pages", "items")
+
   /** V9 — per-item checks over an
     * `items: array<struct<description,quantity,unit_price,total>>`
     * column (reference validator.py:110-132): presence + positivity per
@@ -86,7 +119,13 @@ object ValidationExprs {
     * 1-based-indexed like the reference; result is the '|'-joined list
     * prefixed by the no-items warning when the array is empty.
     */
-  def itemWarnings(items: Column): Column = {
+  def itemWarnings(items: Column): Column =
+    array_join(itemWarningsArray(items), "|")
+
+  /** V9 as the raw warning array (feeds both the flat '|'-join and the
+    * categorized map's `items` entry).
+    */
+  def itemWarningsArray(items: Column): Column = {
     val perItemRaw = flatten(zip_with(
       items,
       sequence(lit(1), greatest(size(items), lit(1))),
@@ -115,7 +154,7 @@ object ValidationExprs {
     val noItems = when(size(items) === 0 || items.isNull,
       array(lit("No line items found in the invoice")))
       .otherwise(array().cast("array<string>"))
-    array_join(filter(concat(noItems, perItem), w => w.isNotNull), "|")
+    filter(concat(noItems, perItem), w => w.isNotNull)
   }
 
   /** P4 — anomaly flags (reference validator.py:151-172), '|'-joined;

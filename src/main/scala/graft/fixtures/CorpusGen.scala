@@ -39,7 +39,10 @@ object CorpusGen {
       media: Seq[MediaBlob],
       invoices: Seq[GoldenInvoice])
 
-  /** Golden structured-invoice row (known at generation time). */
+  /** Golden structured-invoice row (known at generation time).
+    * invoice_date is post-clamp (a future date is recorded as AsOf,
+    * mirroring the reference's model validator, models.py:51-55).
+    */
   case class GoldenInvoice(
       filename: String,
       invoice_number: String,
@@ -52,7 +55,12 @@ object CorpusGen {
       grand_total: java.math.BigDecimal,
       taxes: java.math.BigDecimal,
       final_total: java.math.BigDecimal,
-      items: Seq[GoldenItem] = Nil)
+      items: Seq[GoldenItem] = Nil,
+      country: String = "",
+      pages: Int = 1)
+
+  /** Pinned "today" for date clamping and future-date checks. */
+  val AsOf: java.time.LocalDate = graft.kernel.DateExtract.DefaultAsOf
 
   /** Golden line item (description, qty, unit price, total). */
   case class GoldenItem(
@@ -168,13 +176,87 @@ object CorpusGen {
       invoice_number = number,
       vendor_name = vendor,
       street = street, city = city, state = state, postal_code = zip,
-      invoice_date = if (hasDate) date.toString else "",
+      // future dates clamp to AsOf (reference models.py:51-55)
+      invoice_date =
+        if (!hasDate) ""
+        else if (date.isAfter(AsOf)) AsOf.toString
+        else date.toString,
       grand_total = sub,
       taxes = tax,
       // the reference's `total` regex finds "Subtotal" first in layout A
       final_total = if (layoutA) sub else tot,
       items = items)
     (lines.mkString("\n"), golden)
+  }
+
+  /** DocAI-style entity document: kv lines keyed by exact entity types
+    * (the F16 stand-in's contract). `gateFails = false` → the entity
+    * path wins (P2 gate passes on invoice_id); golden fields follow
+    * DocAI semantics incl. total_amount double-mapped to grand AND
+    * final totals and country carried. `gateFails = true` → entities
+    * exist but carry no headline field, so the engine must fall back
+    * to the regex path over the raw text; golden fields are authored
+    * from REGEX semantics (line-position vendor/address, the
+    * Subtotal/Total quirk, and the postal regex capturing the invoice
+    * number's 5 digits from the line-2 scan — a real reference quirk).
+    */
+  def entityInvoiceText(rng: Random, filename: String, gateFails: Boolean)
+      : (String, GoldenInvoice) = {
+    val vendor = vendorNames(rng.nextInt(vendorNames.length))
+    val street = streets(rng.nextInt(streets.length))
+    val (city, state, zip) = cities(rng.nextInt(cities.length))
+    val number = f"INV-${10000 + rng.nextInt(90000)}%05d"
+    val date = genDate(rng)
+    val sub = money(rng)
+    val tax = sub.multiply(new java.math.BigDecimal("0.10"))
+      .setScale(2, java.math.RoundingMode.HALF_UP)
+    if (!gateFails) {
+      val lines = Seq(
+        s"supplier_name: $vendor",
+        s"supplier_address: $street",
+        s"supplier_city: $city",
+        s"supplier_state: $state",
+        s"supplier_zip: $zip",
+        "supplier_country: US",
+        s"invoice_id: $number",
+        s"invoice_date: ${date.toString}",
+        s"total_amount: ${sub.toPlainString}",
+        s"total_tax_amount: ${tax.toPlainString}")
+      val clamped = if (date.isAfter(AsOf)) AsOf else date
+      (lines.mkString("\n"), GoldenInvoice(
+        filename = filename,
+        invoice_number = number,
+        vendor_name = vendor,
+        street = street, city = city, state = state, postal_code = zip,
+        invoice_date = clamped.toString,
+        grand_total = sub,
+        taxes = tax,
+        final_total = sub, // total_amount double-maps (data_extractor.py:307,315)
+        items = Nil,
+        country = "US"))
+    } else {
+      val lines = Seq(
+        s"supplier_city: $city",
+        s"total_tax_amount: ${tax.toPlainString}",
+        s"Invoice Number: $number",
+        s"Subtotal: $$${sub.toPlainString}",
+        s"Tax: $$${tax.toPlainString}",
+        s"Total: $$${sub.add(tax).toPlainString}")
+      (lines.mkString("\n"), GoldenInvoice(
+        filename = filename,
+        invoice_number = number,
+        // regex path: vendor = line 0, street = line 1 (verbatim kv lines)
+        vendor_name = s"supplier_city: $city",
+        street = s"total_tax_amount: ${tax.toPlainString}",
+        // line 2 = "Invoice Number: INV-xxxxx": no "City, ST" match, but
+        // the postal regex \b\d{5}\b captures the number's digit run
+        city = "", state = "", postal_code = number.substring(4),
+        invoice_date = "",
+        grand_total = sub,
+        taxes = tax,
+        final_total = sub, // Subtotal precedes Total → quirk fires
+        items = Nil))
+    }
   }
 
   /** Uppercase charset-safe invoice lines for rasterized payloads. */
@@ -230,8 +312,18 @@ object CorpusGen {
         case "text" =>
           // provenance for inline spans = doc_id:<renumbered offset>; the
           // renumbered offset equals the golden sub-span count so far
-          val content = if (rng.nextInt(100) < 30) {
-            val (t, g) = invoiceText(rng, s"$docId:${goldenSubs.length}")
+          val fname = s"$docId:${goldenSubs.length}"
+          val roll = rng.nextInt(100)
+          val content = if (roll < 22) {
+            val (t, g) = invoiceText(rng, fname)
+            invoices += g; t
+          } else if (roll < 30) {
+            // DocAI-stand-in entity docs: valid-gate (entity path wins)
+            val (t, g) = entityInvoiceText(rng, fname, gateFails = false)
+            invoices += g; t
+          } else if (roll < 34) {
+            // entities present but gate fails → regex fallback observable
+            val (t, g) = entityInvoiceText(rng, fname, gateFails = true)
             invoices += g; t
           } else prose(rng)
           spans += Span("text", content, "", i)
@@ -246,7 +338,7 @@ object CorpusGen {
             if (rng.nextInt(100) < 25) {
               // rasterized page → OCR-inference fallback path
               val (lines, g) = ocrInvoiceLines(rng, s"$ref#page${pi + 1}")
-              invoices += g
+              invoices += g.copy(pages = nPages) // per-page num_pages carry
               val skew = (rng.nextInt(5) - 2) * 1.0
               // proven-exact OCR envelope: scale 2 unskewed, scale 3 skewed
               val (gray, w, h) = GlyphFont.render(lines,
@@ -255,7 +347,7 @@ object CorpusGen {
               (PdfText.ImagePageSpec(gray, w, h), lines.mkString("\n"))
             } else if (rng.nextInt(100) < 40) {
               val (t, g) = invoiceText(rng, s"$ref#page${pi + 1}")
-              invoices += g
+              invoices += g.copy(pages = nPages)
               (PdfText.TextPageSpec(t.split("\n").toSeq), t)
             } else {
               val t = prose(rng) + "\n" + prose(rng)
@@ -335,10 +427,11 @@ object CorpusGen {
           g.state, g.postal_code, g.invoice_date,
           BigDecimal(g.grand_total), BigDecimal(g.taxes), BigDecimal(g.final_total),
           g.items.map(it => (it.description, it.quantity,
-            BigDecimal(it.unit_price), BigDecimal(it.total)))))
+            BigDecimal(it.unit_price), BigDecimal(it.total))),
+          g.country, g.pages))
         .toDF("filename", "invoice_number", "vendor_name", "street", "city",
           "state", "postal_code", "invoice_date", "grand_total", "taxes",
-          "final_total", "items")
+          "final_total", "items", "country", "pages")
         .write.mode("overwrite").parquet(s"$dir/golden_invoices")
     } finally fixtures.unpersist()
   }

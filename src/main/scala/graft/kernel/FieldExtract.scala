@@ -115,8 +115,11 @@ object FieldExtract {
         try {
           Some(InvoiceItem(
             description = Some(row(0)),
+            // trim before parse: Python int(' 3 ') accepts padded cells
+            // (data_extractor.py:455); parseInt on the raw cell would
+            // throw and drop the whole row
             quantity =
-              if (row(1).trim.nonEmpty) Some(Integer.parseInt(row(1))) else None,
+              if (row(1).trim.nonEmpty) Some(Integer.parseInt(row(1).trim)) else None,
             unit_price =
               if (row(2).trim.nonEmpty) parseDecimal(row(2)) else None,
             total =
@@ -134,6 +137,45 @@ object FieldExtract {
       inv.invoice_date.isDefined ||
       inv.grand_total.isDefined
 
+  /** The reference's only mutating model validator: a future
+    * invoice_date is silently clamped to today (models.py:51-55; the
+    * engine pins "today" to `asOf` for determinism). Applied at Invoice
+    * construction on BOTH extraction paths, exactly like the pydantic
+    * validator — so downstream V5/P4 future-date checks never fire on
+    * a clamped date.
+    */
+  def clampFutureDate(
+      date: Option[String], asOf: java.time.LocalDate): Option[String] =
+    date.map { s =>
+      if (java.time.LocalDate.parse(s).isAfter(asOf)) asOf.toString else s
+    }
+
+  /** DocAI entity types the engine recognizes (data_extractor.py:276-345
+    * reads exactly these keys from the entities map).
+    */
+  val DocAiEntityTypes: Set[String] = Set(
+    "supplier_name", "supplier_address", "supplier_city", "supplier_state",
+    "supplier_country", "supplier_zip", "invoice_id", "invoice_date",
+    "total_amount", "total_tax_amount")
+
+  /** F10/F16 — the local DocAI stand-in: a kv line (first-':' split,
+    * ocr_engine.py:342-353) whose key is EXACTLY a DocAI entity type
+    * becomes an entity. Human-format labels ("Invoice Date: ...") stay
+    * layout kv-pairs, not entities — the cloud processor keys entities
+    * by canonical snake_case types, never by display labels, so regular
+    * invoice texts produce no entities and take the regex path (the
+    * reference's GCV fallback). Last occurrence wins (dict semantics).
+    */
+  def entitiesFromText(text: String): Map[String, String] =
+    text.split("\n").iterator.flatMap { line =>
+      val i = line.indexOf(':')
+      if (i > 0) {
+        val k = line.substring(0, i).trim
+        if (DocAiEntityTypes(k)) Some(k -> line.substring(i + 1).trim)
+        else None
+      } else None
+    }.toMap
+
   /** Entity-map path (data_extractor.py:276-345). Note total_amount maps
     * to BOTH grand_total and final_total (kept); invoice_date must be
     * strict `%Y-%m-%d`.
@@ -141,7 +183,9 @@ object FieldExtract {
   def extractFromEntities(
       entities: Map[String, String],
       tables: Seq[Seq[Seq[String]]],
-      filename: String): Invoice = {
+      filename: String,
+      numPages: Int = 1,
+      asOf: java.time.LocalDate = DateExtract.DefaultAsOf): Invoice = {
     val vendor = Vendor(
       name = entities.getOrElse("supplier_name", ""),
       address = Address(
@@ -161,12 +205,12 @@ object FieldExtract {
       filename = filename,
       invoice_number = entities.get("invoice_id").orElse(Some("")),
       vendor = vendor,
-      invoice_date = invoiceDate,
+      invoice_date = clampFutureDate(invoiceDate, asOf),
       grand_total = entities.get("total_amount").flatMap(parseDecimal),
       taxes = entities.get("total_tax_amount").flatMap(parseDecimal),
       final_total = entities.get("total_amount").flatMap(parseDecimal),
       items = extractItemsDocai(tables),
-      pages = 1)
+      pages = numPages)
   }
 
   /** GCV/regex path (data_extractor.py:347-372), date handled by
@@ -183,7 +227,8 @@ object FieldExtract {
       filename = filename,
       invoice_number = extractInvoiceNumber(text),
       vendor = extractVendor(text),
-      invoice_date = DateExtract.extractDate(text, asOf = asOf).map(_.toString),
+      invoice_date = clampFutureDate(
+        DateExtract.extractDate(text, asOf = asOf).map(_.toString), asOf),
       grand_total = grand,
       taxes = taxes,
       final_total = fin,

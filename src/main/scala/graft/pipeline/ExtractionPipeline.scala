@@ -38,6 +38,10 @@ object ExtractionPipeline {
   /** Pure transformation: docs (+ media sidecar) → extracted docs with
     * the same `(doc_id, spans)` shape, media spans replaced by their
     * extracted text spans, order preserved, offsets renumbered 0..n-1.
+    * Every input doc_id appears in the output: docs whose spans array
+    * is empty (or null) come back with an empty spans array, and a
+    * span whose media_ref is missing from the media table yields an
+    * error span — nothing vanishes silently.
     */
   def extract(
       docs: DataFrame,
@@ -52,35 +56,66 @@ object ExtractionPipeline {
       .select(
         col("doc_id"),
         col("span.offset").as("offset"),
-        col("span.kind").as("kind"),
-        col("span.text").as("text"),
-        col("span.media_ref").as("media_ref"))
+        coalesce(col("span.kind"), lit("")).as("kind"),
+        coalesce(col("span.text"), lit("")).as("text"),
+        // NULL media_ref ≡ inline: `=!= ""` on NULL is NULL (row would
+        // silently drop from BOTH filter branches)
+        coalesce(col("span.media_ref"), lit("")).as("media_ref"))
 
     // inline spans skip the media join entirely (see scale notes above)
     val inline = tasks
       .filter(col("media_ref") === lit(""))
       .withColumn("bytes", lit(null).cast(BinaryType))
 
-    val withMedia = tasks
-      .filter(col("media_ref") =!= lit(""))
-      .join(media.select(col("media_ref"), col("bytes")), Seq("media_ref"), "left")
+    // INNER join: with tasks preserved on the probe side of an outer
+    // join only the media side could broadcast; inner lets Catalyst/AQE
+    // broadcast the (payload-free) task side instead, so the bytes stay
+    // put. Missing media is recovered by the anti-join below (payload
+    // NULL → the kernel's missing-payload error span), preserving the
+    // outer join's semantics without its shape.
+    val mediaTasks = tasks.filter(col("media_ref") =!= lit(""))
+    val withMedia = mediaTasks
+      .join(media.select(col("media_ref"), col("bytes")), Seq("media_ref"), "inner")
+    val missingMedia = mediaTasks
+      .join(media.select(col("media_ref")), Seq("media_ref"), "left_anti")
+      .withColumn("bytes", lit(null).cast(BinaryType))
 
     val all = inline.select(taskCols.map(col): _*)
       .unionByName(withMedia.select(taskCols.map(col): _*))
+      .unionByName(missingMedia.select(taskCols.map(col): _*))
 
     // Salted repartition on hash(doc_id, offset): spreads whale docs at
-    // span granularity. This is the ONLY shuffle of the payload bytes —
-    // the media join above broadcasts the tiny task side, so the bytes
-    // flow scan → here exactly once. Measured: removing this shuffle
-    // drops kernel parallelism to scan-split granularity (bytes are a
-    // bad proxy for OCR cost) and costs ~50% throughput at 32 cores.
+    // span granularity. Measured: removing this shuffle drops kernel
+    // parallelism to scan-split granularity (bytes are a bad proxy for
+    // OCR cost) and costs ~50% throughput at 32 cores.
+    //
+    // Payload-shuffle budget, honestly stated: at fixture scale the
+    // task side broadcasts and bytes move only through this explicit
+    // repartition (one shuffle). At 100 TB neither join side fits a
+    // broadcast, so the join itself would shuffle the bytes once more.
+    // The scale design is STORAGE CO-PARTITIONING: media laid out
+    // bucketed by hash(doc_id) (Iceberg-partition stand-in), so the
+    // join is a co-located zip and each executor reads only its
+    // partitions' payloads — exactly what the multi-JVM bench harness
+    // models with SPARK_GRAFT_CHUNK co-chunked docs+media pruning
+    // (tools/executor_bench.sh, Bench.scala).
     val salted = all.repartition(partitions,
       pmod(xxhash64(col("doc_id"), col("offset")), lit(partitions)))
 
     val subs = salted.as[SpanTask]
       .mapPartitions(_.flatMap(t => SpanKernel.process(t, asOf)))
 
-    reassemble(subs.toDF())
+    val assembled = reassemble(subs.toDF())
+
+    // re-attach docs that produced no kernel tasks (empty spans array):
+    // left join on doc_id — co-partitioned with reassemble's groupBy
+    // output, so no extra full shuffle of the data side
+    docs.select(col("doc_id"))
+      .join(assembled, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("spans"), expr(
+          "cast(array() as array<struct<kind:string,text:string,media_ref:string,offset:int>>)"))
+          .as("spans"))
   }
 
   /** Rebuild `(doc_id, spans)` rows from kernel sub-spans: sort by

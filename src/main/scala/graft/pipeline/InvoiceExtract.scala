@@ -29,6 +29,7 @@ object InvoiceExtract {
       city: String,
       state: String,
       postal_code: String,
+      country: String,
       invoice_date: Option[String],
       grand_total: Option[BigDecimal],
       taxes: Option[BigDecimal],
@@ -44,6 +45,9 @@ object InvoiceExtract {
     city = inv.vendor.address.city,
     state = inv.vendor.address.state,
     postal_code = inv.vendor.address.postal_code,
+    // carried for the DocAI entity path (supplier_country); always ""
+    // on the regex path (data_extractor.py:423: country stays empty)
+    country = inv.vendor.address.country,
     invoice_date = inv.invoice_date,
     grand_total = inv.grand_total.map(_.setScale(2)),
     taxes = inv.taxes.map(_.setScale(2)),
@@ -55,27 +59,45 @@ object InvoiceExtract {
     * Provenance filename = media_ref for media-derived spans (already
     * `ref#page{n}`-shaped, mirroring the reference's `_page{n}` file
     * naming), else `doc_id:offset` for inline spans.
+    *
+    * Two live extraction paths, exactly the reference's lattice
+    * (SURVEY.md P2, data_extractor.py:259-274): the kernel derives a
+    * DocAI-stand-in entities map from kv lines (F10/F16); if it passes
+    * the validity gate the entity path wins, else the regex path runs
+    * over the raw text.
+    *
+    * `pages` = the reference's per-page `num_pages` carry
+    * (ocr_engine.py:296-303): for a `ref#page{n}` span, the count of
+    * sibling page spans of the same source — computed with a per-row
+    * HOF over the doc's own spans array (zero shuffle; a PDF's pages
+    * always live in one row).
     */
   def fromSpans(extracted: DataFrame,
       asOf: LocalDate = DateExtract.DefaultAsOf): Dataset[InvoiceRow] = {
     val spark = extracted.sparkSession
     import spark.implicits._
+    val pageBase = "^(.*)#page\\d+$"
     val texts = extracted
-      .select(col("doc_id"), explode(col("spans")).as("s"))
+      .select(col("doc_id"), col("spans"), explode(col("spans")).as("s"))
       .filter(col("s.kind") === "text")
       .select(
         when(col("s.media_ref") =!= "", col("s.media_ref"))
           .otherwise(concat(col("doc_id"), lit(":"), col("s.offset")))
           .as("filename"),
-        col("s.text").as("text"))
-      .as[(String, String)]
+        col("s.text").as("text"),
+        when(regexp_extract(col("s.media_ref"), pageBase, 1) === "", lit(1))
+          .otherwise(size(filter(col("spans"), x =>
+            regexp_extract(x.getField("media_ref"), pageBase, 1) ===
+              regexp_extract(col("s.media_ref"), pageBase, 1))))
+          .as("pages"))
+      .as[(String, String, Int)]
       // AQE coalesces the upstream groupBy output to a handful of
       // partitions (small bytes) — but the date cascade is CPU-heavy,
       // so spread the kernel map across all cores explicitly
       .repartition(spark.sparkContext.defaultParallelism * 4)
-    texts.mapPartitions(_.map { case (filename, text) =>
-      toRow(FieldExtract.extractFromText(text, filename,
-        tables = textTables(text), asOf = asOf))
+    texts.mapPartitions(_.map { case (filename, text, pages) =>
+      withEntityFallback(FieldExtract.entitiesFromText(text),
+        textTables(text), text, filename, numPages = pages, asOf = asOf)
     })
   }
 
@@ -97,10 +119,28 @@ object InvoiceExtract {
       tables: Seq[Seq[Seq[String]]],
       text: String,
       filename: String,
+      numPages: Int = 1,
       asOf: LocalDate = DateExtract.DefaultAsOf): InvoiceRow = {
-    val docai = FieldExtract.extractFromEntities(entities, tables, filename)
-    if (entities.nonEmpty && FieldExtract.isInvoiceValid(docai)) toRow(docai)
-    else toRow(FieldExtract.extractFromText(text, filename, asOf = asOf))
+    // entity extraction only runs when entities exist — the common
+    // (regex-path) document never pays for the DocAI projection.
+    // A kv line consumed into the entities map is an ENTITY, not a
+    // table row (the cloud processor reports entities and tables as
+    // disjoint structures) — so the DocAI items path sees the tables
+    // minus entity rows, while the regex fallback keeps the full text
+    // tables exactly as GCV layout would.
+    val viaEntities =
+      if (entities.isEmpty) None
+      else {
+        val docaiTables = tables.map(_.filterNot(row =>
+          row.headOption.exists(c => c.endsWith(":") &&
+            FieldExtract.DocAiEntityTypes(c.dropRight(1)))))
+        Some(FieldExtract.extractFromEntities(
+          entities, docaiTables, filename, numPages, asOf))
+          .filter(FieldExtract.isInvoiceValid)
+      }
+    viaEntities.map(toRow).getOrElse(
+      toRow(FieldExtract.extractFromText(text, filename,
+        tables = tables, numPages = numPages, asOf = asOf)))
   }
 
   /** The reference exporter's fixed 12-column CSV projection
@@ -119,15 +159,24 @@ object InvoiceExtract {
       (acc, it) => acc + coalesce(
         round(it.getField("total") * 100).cast("long"), lit(0L))),
       lit(0L))
-    def centsStr(c: org.apache.spark.sql.Column) =
-      format_string("%d.%02d", floor(c / 100).cast("long"), c % 100)
+    def centsStr(c: org.apache.spark.sql.Column) = {
+      // sign extracted first: %d on floor(c/100) would render -150 as
+      // "-2.-50" (Spark % keeps the dividend's sign); negatives are
+      // in-domain (parseDecimal keeps '-', Python str(Decimal('-1.50'))
+      // == "-1.50")
+      val a = abs(c)
+      concat(when(c < 0, "-").otherwise(""),
+        format_string("%d.%02d", floor(a / 100).cast("long"), a % 100))
+    }
     invoices.select(
       col("filename").as("Filename"),
       coalesce(col("invoice_number"), lit("")).as("Invoice Number"),
       col("vendor_name").as("Vendor Name"),
+      // reference field order incl. country 5th (exporter.py:42-49)
       concat_ws(", ",
         nullif(col("street"), lit("")), nullif(col("city"), lit("")),
-        nullif(col("state"), lit("")), nullif(col("postal_code"), lit("")))
+        nullif(col("state"), lit("")), nullif(col("postal_code"), lit("")),
+        nullif(col("country"), lit("")))
         .as("Address"),
       coalesce(col("invoice_date"), lit("")).as("Invoice Date"),
       money(col("grand_total")).as("Grand Total"),

@@ -108,6 +108,52 @@ class FieldExtractSpec extends AnyFunSuite {
     assert(inv.invoice_date.isEmpty)
   }
 
+  test("future invoice_date clamps to asOf on BOTH paths (models.py:51-55)") {
+    val asOf = java.time.LocalDate.of(2025, 4, 18)
+    // regex path: explicit future ISO date in text
+    val futText = "Acme\nInvoice Date: 2026-01-15\nSubtotal: $10.00"
+    val viaText = FieldExtract.extractFromText(futText, "f", asOf = asOf)
+    assert(viaText.invoice_date.contains("2025-04-18"))
+    // entity path
+    val viaEnt = FieldExtract.extractFromEntities(
+      Map("invoice_id" -> "INV-1", "invoice_date" -> "2026-01-15"),
+      Nil, "f", asOf = asOf)
+    assert(viaEnt.invoice_date.contains("2025-04-18"))
+    // past dates pass through untouched; boundary (== asOf) not clamped
+    assert(FieldExtract.clampFutureDate(Some("2024-01-01"), asOf)
+      .contains("2024-01-01"))
+    assert(FieldExtract.clampFutureDate(Some("2025-04-18"), asOf)
+      .contains("2025-04-18"))
+    assert(FieldExtract.clampFutureDate(None, asOf).isEmpty)
+  }
+
+  test("clamped date no longer trips the V5/P4 future checks") {
+    val asOf = java.time.LocalDate.of(2025, 4, 18)
+    val inv = FieldExtract.extractFromText(
+      "Acme\nInvoice Date: 2026-01-15\nTotal: $5.00", "f", asOf = asOf)
+    // the date the validators see is the clamped one
+    assert(inv.invoice_date.exists(d =>
+      !java.time.LocalDate.parse(d).isAfter(asOf)))
+  }
+
+  test("items: whitespace-padded quantity cells parse like Python int()") {
+    val tables = Seq(Seq(
+      Seq("h", "h", "h", "h"),
+      Seq("Widget", " 3 ", "2.00", "6.00")))
+    val items = FieldExtract.extractItems(tables)
+    assert(items.length == 1 && items.head.quantity.contains(3))
+  }
+
+  test("entitiesFromText: exact snake_case DocAI keys only, last wins") {
+    val ents = FieldExtract.entitiesFromText(
+      "supplier_name: Acme\nInvoice Number: INV-1\nTax: $1.00\n" +
+        "total_amount: 5.00\ntotal_amount: 7.00\nnot_an_entity: x")
+    assert(ents == Map("supplier_name" -> "Acme", "total_amount" -> "7.00"))
+    // a regular regex-style invoice yields NO entities (labels aren't types)
+    assert(FieldExtract.entitiesFromText(
+      "Acme Corp\nInvoice Number: INV-2\nSubtotal: $1.00").isEmpty)
+  }
+
   test("full text path assembles an invoice") {
     val text = "Acme Corp\n12 Main St\nSpringfield, IL 62704\n" +
       "Invoice Number: INV-77777\nInvoice Date: 31/12/2024\n" +

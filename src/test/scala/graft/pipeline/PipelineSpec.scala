@@ -92,6 +92,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(Files.exists(Commit.manifestDir(outDir).resolve("snapshot.json")))
   }
 
+  test("NULL media_ref, empty spans, and missing media never vanish silently") {
+    import spark.implicits._
+    val weird = Seq(
+      // NULL media_ref on a text span ≡ inline
+      graft.model.Doc("w-null-ref", Seq(graft.model.Span("text", "hello", null, 0))),
+      // empty spans array -> doc survives with empty output spans
+      graft.model.Doc("w-empty", Nil),
+      // media_ref pointing nowhere -> error span, not a dropped row
+      graft.model.Doc("w-missing-media", Seq(graft.model.Span("pdf", "", "m/nope/0", 0))))
+    val out = ExtractionPipeline.extract(
+      spark.createDataset(weird).toDF(),
+      spark.emptyDataset[graft.model.MediaBlob].toDF(), partitions = 2)
+    assert(out.count() == 3)
+    val byId = out.collect().map(r => r.getString(0) ->
+      r.getSeq[org.apache.spark.sql.Row](1)).toMap
+    assert(byId("w-null-ref").map(s => (s.getString(0), s.getString(1))) ==
+      Seq(("text", "hello")))
+    assert(byId("w-empty").isEmpty)
+    assert(byId("w-missing-media").map(_.getString(0)) == Seq("error"))
+  }
+
   test("poison media payload yields an error span, not a crashed job") {
     import spark.implicits._
     val badDocs = Seq(
