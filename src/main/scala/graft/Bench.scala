@@ -84,8 +84,12 @@ object Bench {
     val total = results.map(_._2).sum + extractSec + invoiceSec
     val docsPerSec = docCount / extractSec
     val spansPerSec = spanCount / extractSec
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","docs_per_sec":$docsPerSec%.1f,"spans_per_sec":$spansPerSec%.1f,"extract_sec":$extractSec%.3f,"invoice_sec":$invoiceSec%.3f,"bench_docs":$docCount,"invoices":$invoiceCount,"cpus":$cpus}""")
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","docs_per_sec":$docsPerSec%.1f,"spans_per_sec":$spansPerSec%.1f,"extract_sec":$extractSec%.3f,"invoice_sec":$invoiceSec%.3f,"bench_docs":$docCount,"invoices":$invoiceCount,"cpus":$cpus}"""
+    println(json)
+    // belt-and-braces for log-prefix scrapers: the same line lands in a file
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach(p =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json + "\n"))
     spark.stop()
   }
 }

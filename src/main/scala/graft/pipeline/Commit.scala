@@ -51,6 +51,51 @@ object Commit {
       .toMap
   }
 
+  /** Stage the input partitioned by the chunk key — the
+    * Iceberg-partitioned-table stand-in. Without this, every chunk
+    * iteration re-scans the FULL docs and media tables and filters by
+    * a hash predicate that cannot push down (k full scans — a
+    * quadratic read bill at 100 TB with hundreds of chunks). Staged,
+    * each iteration partition-prunes to exactly its slice; media is
+    * co-partitioned by the chunk of the doc(s) referencing it, so a
+    * chunk's payload bytes are read once, by that chunk only — the
+    * storage co-partitioning design the media join relies on at scale.
+    * One blob referenced from two chunks is duplicated across their
+    * partitions (storage for read-locality, same trade Iceberg makes).
+    */
+  def stageByChunk(
+      spark: SparkSession,
+      docs: DataFrame,
+      media: DataFrame,
+      outDir: String,
+      chunks: Int): (DataFrame, DataFrame) = {
+    val stagedRoot = Paths.get(outDir, s"_staged", s"chunks=$chunks")
+    val chunkOf = pmod(xxhash64(col("doc_id")), lit(chunks))
+    if (!Files.isDirectory(stagedRoot)) {
+      docs.withColumn("chunk", chunkOf)
+        .write.mode("overwrite").partitionBy("chunk")
+        .parquet(s"$stagedRoot/docs")
+      val refChunks = docs
+        .select(chunkOf.as("chunk"),
+          explode(col("spans.media_ref")).as("media_ref"))
+        .filter(col("media_ref") =!= "")
+        .distinct()
+      media.join(refChunks, Seq("media_ref"), "inner")
+        .write.mode("overwrite").partitionBy("chunk")
+        .parquet(s"$stagedRoot/media")
+    }
+    // explicit schemas: an empty staged table (no media in the corpus)
+    // reads back as an empty frame instead of failing schema inference
+    val chunkField = org.apache.spark.sql.types.StructField(
+      "chunk", org.apache.spark.sql.types.LongType)
+    (spark.read.schema(org.apache.spark.sql.types.StructType(
+        docs.schema.fields :+ chunkField))
+        .parquet(s"$stagedRoot/docs"),
+      spark.read.schema(org.apache.spark.sql.types.StructType(
+        media.schema.fields :+ chunkField))
+        .parquet(s"$stagedRoot/media"))
+  }
+
   /** Run the extraction chunk-by-chunk with idempotent commits.
     *
     * @param failAfterChunks test hook — throw after committing this many
@@ -69,6 +114,8 @@ object Commit {
     Files.createDirectories(manifestDir(outDir))
     val sourceSnapshot = snapshotId(docs)
     val already = committedChunks(outDir)
+    val (stagedDocs, stagedMedia) =
+      stageByChunk(spark, docs, media, outDir, chunks)
     val committed = scala.collection.mutable.ArrayBuffer.empty[ChunkManifest]
     var done = 0
     (0 until chunks).foreach { k =>
@@ -77,9 +124,11 @@ object Commit {
         if (done >= failAfterChunks)
           throw new RuntimeException(s"injected failure before chunk $k")
         val t0 = System.nanoTime()
-        val chunkDocs = docs.filter(
-          pmod(xxhash64(col("doc_id")), lit(chunks)) === lit(k))
-        val out = ExtractionPipeline.extract(chunkDocs, media, partitions)
+        // partition-pruned reads: chunk k touches only its own slice of
+        // docs AND media (PlanSpec asserts the PartitionFilters)
+        val chunkDocs = stagedDocs.filter(col("chunk") === lit(k)).drop("chunk")
+        val chunkMedia = stagedMedia.filter(col("chunk") === lit(k)).drop("chunk")
+        val out = ExtractionPipeline.extract(chunkDocs, chunkMedia, partitions)
         out.write.mode("overwrite").parquet(s"$outDir/data/chunk=$k")
         // counts from the written files (what actually committed)
         val written = spark.read.parquet(s"$outDir/data/chunk=$k")

@@ -80,4 +80,24 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(chunkFilter)
     assert(!p.contains("Exchange"), p.take(2000))
   }
+
+  test("chunked commit reads are partition-pruned, one scan per chunk") {
+    val outDir = Files.createTempDirectory("graft_prune").toString
+    val docs = spark.read.parquet(s"$dir/docs")
+    val media = spark.read.parquet(s"$dir/media")
+    val (stagedDocs, stagedMedia) =
+      Commit.stageByChunk(spark, docs, media, outDir, chunks = 4)
+    Seq(stagedDocs, stagedMedia).foreach { staged =>
+      val p = plan(staged.filter(col("chunk") === lit(2)))
+      val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+      assert(pf.contains("(chunk") && pf.contains("= 2)"), p.take(3000))
+    }
+    // pruning is real: the pruned read touches strictly fewer files
+    val allFiles = stagedDocs.inputFiles.length
+    val chunk2 = spark.read
+      .parquet(s"$outDir/_staged/chunks=4/docs").filter(col("chunk") === 2)
+    assert(chunk2.count() > 0)
+    assert(chunk2.count() < docs.count())
+    assert(allFiles > 1, "staging must produce per-chunk partitions")
+  }
 }
