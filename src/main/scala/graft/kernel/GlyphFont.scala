@@ -83,11 +83,11 @@ object GlyphFont {
       skewDeg: Double = 0.0,
       noise: Int = 0,
       rng: java.util.Random = new java.util.Random(0),
-      margin: Int = 8): (Array[Int], Int, Int) = {
+      margin: Int = 8): (Array[Byte], Int, Int) = {
     val maxLen = math.max(1, if (lines.isEmpty) 1 else lines.map(_.length).max)
     val w = 2 * margin + maxLen * CellW * scale
     val h = 2 * margin + lines.length * CellH * scale
-    val gray = Array.fill(w * h)(255)
+    val gray = Array.fill(w * h)(255.toByte)
     lines.zipWithIndex.foreach { case (line, li) =>
       line.zipWithIndex.foreach { case (c, ci) =>
         glyphs.get(c).foreach { pat =>
@@ -96,7 +96,7 @@ object GlyphFont {
           for (gy <- 0 until GlyphH; gx <- 0 until GlyphW
                if pat(gy).charAt(gx) == '1';
                sy <- 0 until scale; sx <- 0 until scale) {
-            gray((oy + gy * scale + sy) * w + (ox + gx * scale + sx)) = 0
+            gray((oy + gy * scale + sy) * w + (ox + gx * scale + sx)) = 0.toByte
           }
         }
       }
@@ -106,7 +106,7 @@ object GlyphFont {
       val rad = math.toRadians(skewDeg)
       val sin = math.sin(rad); val cos = math.cos(rad)
       val cx = (w - 1) / 2.0; val cy = (h - 1) / 2.0
-      val rot = Array.fill(w * h)(255)
+      val rot = Array.fill(w * h)(255.toByte)
       var y = 0
       while (y < h) {
         var x = 0
@@ -129,9 +129,9 @@ object GlyphFont {
       // only flip pixels whose 8 neighbours are uniform paper, so the
       // speck stays isolated and despeckle can provably remove it
       val isolated = (-1 to 1).forall(dy => (-1 to 1).forall(dx =>
-        (dx == 0 && dy == 0) || rendered((y + dy) * w + (x + dx)) > 200))
-      if (isolated && rendered(y * w + x) > 200) {
-        rendered(y * w + x) = 0
+        (dx == 0 && dy == 0) || (rendered((y + dy) * w + (x + dx)) & 0xff) > 200))
+      if (isolated && (rendered(y * w + x) & 0xff) > 200) {
+        rendered(y * w + x) = 0.toByte
         k += 1
       }
       attempts += 1
@@ -139,13 +139,13 @@ object GlyphFont {
     (rendered, w, h)
   }
 
-  def toBufferedImage(gray: Array[Int], w: Int, h: Int): BufferedImage = {
+  def toBufferedImage(gray: Array[Byte], w: Int, h: Int): BufferedImage = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        val g = gray(y * w + x)
+        val g = gray(y * w + x) & 0xff
         img.setRGB(x, y, (g << 16) | (g << 8) | g)
         x += 1
       }
@@ -154,13 +154,13 @@ object GlyphFont {
     img
   }
 
-  def toPng(gray: Array[Int], w: Int, h: Int): Array[Byte] = {
+  def toPng(gray: Array[Byte], w: Int, h: Int): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(toBufferedImage(gray, w, h), "png", bos)
     bos.toByteArray
   }
 
-  def toJpeg(gray: Array[Int], w: Int, h: Int): Array[Byte] = {
+  def toJpeg(gray: Array[Byte], w: Int, h: Int): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(toBufferedImage(gray, w, h), "jpg", bos)
     bos.toByteArray

@@ -28,10 +28,15 @@ object ImageDecode {
     * BufferedImage color model entirely: `readRaster` hands back the
     * decoder's raw bands (PNG: RGB, JPEG: YCbCr/gray — band 0 = Y =
     * luma). Our rasters are achromatic (r=g=b), so band 0 IS the gray
-    * channel in both formats. Saves a 4-byte-per-pixel image alloc plus
-    * a full luma conversion pass per image. Returns null if undecodable.
+    * channel in both formats. Returns null if undecodable.
+    *
+    * Byte discipline: band 0 is copied straight out of the decoder's
+    * DataBufferByte into the thread's scratch raster (valid until this
+    * thread's next readGray — the kernel finishes each image before
+    * decoding the next). No int[] samples array, no per-image
+    * full-page allocation.
     */
-  def readGray(bytes: Array[Byte]): (Array[Int], Int, Int) = {
+  def readGray(bytes: Array[Byte]): (Array[Byte], Int, Int) = {
     val reader = MimeSniffer.sniff(bytes) match {
       case MimeSniffer.Png => pngReader.get()
       case MimeSniffer.Jpeg => jpegReader.get()
@@ -44,7 +49,38 @@ object ImageDecode {
         if (reader.canReadRaster) reader.readRaster(0, null)
         else reader.read(0).getRaster
       val w = raster.getWidth; val h = raster.getHeight
-      val gray = raster.getSamples(0, 0, w, h, 0, new Array[Int](w * h))
+      val gray = ImageOps.scratch.get().bytesB(w * h)
+      raster.getDataBuffer match {
+        case db: java.awt.image.DataBufferByte
+            if raster.getSampleModel.isInstanceOf[java.awt.image.PixelInterleavedSampleModel] =>
+          val sm = raster.getSampleModel
+            .asInstanceOf[java.awt.image.PixelInterleavedSampleModel]
+          val stride = sm.getPixelStride
+          val scan = sm.getScanlineStride
+          val off = sm.getBandOffsets()(0) + db.getOffset
+          val data = db.getData
+          if (stride == 1 && scan == w) {
+            System.arraycopy(data, off, gray, 0, w * h)
+          } else {
+            var y = 0
+            while (y < h) {
+              var x = 0
+              val rowOff = off + y * scan
+              while (x < w) { gray(y * w + x) = data(rowOff + x * stride); x += 1 }
+              y += 1
+            }
+          }
+        case _ =>
+          // general fallback (non-byte buffers): per-sample copy
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              gray(y * w + x) = raster.getSample(x, y, 0).toByte; x += 1
+            }
+            y += 1
+          }
+      }
       (gray, w, h)
     } catch {
       case _: Exception => null

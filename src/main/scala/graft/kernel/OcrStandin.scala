@@ -17,7 +17,7 @@ object OcrStandin {
     ocrGray(gray, w, h)
   }
 
-  def ocrGray(gray: Array[Int], w: Int, h: Int): String =
+  def ocrGray(gray: Array[Byte], w: Int, h: Int): String =
     ocrDetailed(gray, w, h).text
 
   /** A recognized word with its bounding box (the reference's OCR
@@ -57,13 +57,27 @@ object OcrStandin {
     def tableRows: Seq[Seq[String]] = lines.map(_.words.map(_.text))
   }
 
-  def ocrDetailed(gray: Array[Int], w: Int, h: Int): OcrResult = {
-    val clean = ImageOps.despeckle(gray, w, h)
-    val bin = ImageOps.otsuBinarize(clean, w, h)
-    if (!bin.exists(identity)) return OcrResult(Nil, 0.0)
-    val angle = ImageOps.houghSkewAngle(bin, w, h)
-    val fixed = if (math.abs(angle) >= 0.25) ImageOps.rotate(bin, w, h, -angle) else bin
-    val comps = ImageOps.connectedComponents(fixed, w, h, minPixels = 2)
+  /** Full per-image pipeline over the thread's [[ImageOps.Scratch]]
+    * buffers: the only allocations that survive a page are the
+    * components/words/lines that escape — every full-page intermediate
+    * (despeckled gray, binarized page, rotated page, Hough points, CCL
+    * labels) reuses thread-local storage (the round-1 GC ceiling fix).
+    */
+  def ocrDetailed(gray: Array[Byte], w: Int, h: Int): OcrResult = {
+    val s = ImageOps.scratch.get()
+    val n = w * h
+    val clean = ImageOps.despeckleInto(gray, w, h, s.bytesA(n))
+    val bin = ImageOps.otsuBinarizeInto(clean, w, h, s.boolA(n))
+    var hasFg = false
+    var i = 0
+    while (i < n && !hasFg) { hasFg = bin(i); i += 1 }
+    if (!hasFg) return OcrResult(Nil, 0.0)
+    val angle = ImageOps.houghSkewAngle(bin, w, h, ptsScratch = s.intsA(n))
+    val fixed =
+      if (math.abs(angle) >= 0.25) ImageOps.rotateInto(bin, w, h, -angle, s.boolB(n))
+      else bin
+    val comps = ImageOps.connectedComponents(fixed, w, h, minPixels = 2,
+      labelsScratch = s.intsA(n))
     if (comps.isEmpty) return OcrResult(Nil, angle)
     OcrResult(groupLines(comps).map(lineWords), angle)
   }

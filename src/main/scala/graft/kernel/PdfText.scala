@@ -24,7 +24,7 @@ object PdfText {
   /** Text-layer page: lines joined with \n. */
   final case class TextPage(text: String) extends Page
   /** Rasterized page (gray 8-bit, row-major) for the OCR path. */
-  final case class ImagePage(gray: Array[Int], width: Int, height: Int) extends Page
+  final case class ImagePage(gray: Array[Byte], width: Int, height: Int) extends Page
 
   // -------------------------------------------------------------------------
   // Reader
@@ -116,9 +116,9 @@ object PdfText {
           val w = intVal(dict, "/Width").getOrElse(0)
           val h = intVal(dict, "/Height").getOrElse(0)
           if (w > 0 && h > 0 && data.length >= w * h) {
-            val gray = new Array[Int](w * h)
+            val gray = new Array[Byte](w * h)
             var i = 0
-            while (i < w * h) { gray(i) = data.charAt(i) & 0xff; i += 1 }
+            while (i < w * h) { gray(i) = data.charAt(i).toByte; i += 1 }
             ImagePage(gray, w, h)
           } else TextPage("")
       }.getOrElse(TextPage(""))
@@ -175,7 +175,7 @@ object PdfText {
 
   sealed trait PageSpec
   final case class TextPageSpec(lines: Seq[String]) extends PageSpec
-  final case class ImagePageSpec(gray: Array[Int], width: Int, height: Int) extends PageSpec
+  final case class ImagePageSpec(gray: Array[Byte], width: Int, height: Int) extends PageSpec
 
   private def escape(s: String): String =
     s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")

@@ -69,7 +69,7 @@ class OcrRoundtripSpec extends AnyFunSuite {
   }
 
   test("otsu threshold on a bimodal histogram") {
-    val gray = Array.fill(100)(20) ++ Array.fill(100)(220)
+    val gray = Array.fill(100)(20.toByte) ++ Array.fill(100)(220.toByte)
     val t = ImageOps.otsuThreshold(gray)
     assert(t >= 20 && t < 220)
   }
