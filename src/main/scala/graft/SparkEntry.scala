@@ -9,9 +9,7 @@ object SparkEntry {
     */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/tmp/graft_entry_corpus"
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "docs"))) {
-      fixtures.CorpusGen.write(spark, dir, fixtures.CorpusGen.Params(nDocs = 150))
-    }
+    fixtures.CorpusGen.ensure(spark, dir, fixtures.CorpusGen.Params(nDocs = 150))
     pipeline.ExtractionPipeline.extract(
       spark.read.parquet(s"$dir/docs"),
       spark.read.parquet(s"$dir/media"),

@@ -409,6 +409,18 @@ object CorpusGen {
     * so workers generate independently) and cached across the three
     * output writes — glyph rendering dominates generation cost.
     */
+  /** Generate into `dir` unless a COMPLETE corpus is already there.
+    * Completion is marked by a sentinel file written after the last
+    * table — a run killed mid-write is regenerated, never reused.
+    */
+  def ensure(spark: org.apache.spark.sql.SparkSession, dir: String, p: Params): Unit = {
+    val marker = java.nio.file.Paths.get(dir, "_corpus_complete")
+    if (!java.nio.file.Files.exists(marker)) {
+      write(spark, dir, p)
+      java.nio.file.Files.writeString(marker, s"nDocs=${p.nDocs} seed=${p.seed}\n")
+    }
+  }
+
   def write(spark: org.apache.spark.sql.SparkSession, dir: String, p: Params): Unit = {
     import spark.implicits._
     val par = spark.sparkContext.defaultParallelism

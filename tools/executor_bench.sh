@@ -8,7 +8,9 @@ CP="/root/repo/target/scala-2.13/classes:/opt/spark/jars/*"
 SCALA_LIB=$(ls /opt/spark/jars/scala-library*.jar 2>/dev/null | head -1)
 OPENS="--add-opens=java.base/java.lang=ALL-UNNAMED --add-opens=java.base/java.lang.invoke=ALL-UNNAMED --add-opens=java.base/java.lang.reflect=ALL-UNNAMED --add-opens=java.base/java.io=ALL-UNNAMED --add-opens=java.base/java.net=ALL-UNNAMED --add-opens=java.base/java.nio=ALL-UNNAMED --add-opens=java.base/java.util=ALL-UNNAMED --add-opens=java.base/java.util.concurrent=ALL-UNNAMED --add-opens=java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens=java.base/sun.nio.ch=ALL-UNNAMED --add-opens=java.base/sun.nio.cs=ALL-UNNAMED --add-opens=java.base/sun.security.action=ALL-UNNAMED --add-opens=java.base/sun.util.calendar=ALL-UNNAMED"
 JAVA_ARGS="$OPENS -Xmx14g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC"
-export SPARK_GRAFT_SKIP_QUERIES=1 SPARK_GRAFT_BENCH_DOCS=${DOCS:-9000} SPARK_GRAFT_CPUS=8
+export SPARK_GRAFT_SKIP_QUERIES=1 SPARK_GRAFT_SKIP_INVOICE=1
+export SPARK_GRAFT_BENCH_DOCS=${DOCS:-9000} SPARK_GRAFT_CPUS=8
+TRIALS=${TRIALS:-2}
 OUT=${OUT:-/tmp/execbench}
 mkdir -p $OUT
 
@@ -18,39 +20,42 @@ run_one() { # $1=cpulist $2=chunk-spec $3=outfile
 }
 
 echo "== warm corpus (generate once) =="
-run_one 0-31 "" $OUT/warm.json || true
+taskset -c 0-31 java -cp "$CP" $JAVA_ARGS -Xmx64g graft.tools.CorpusWarm 2>/dev/null
 
-echo "== single executor: 1x local[8] on cores 0-7, full corpus =="
-t0=$(date +%s.%N)
-run_one 0-7 "" $OUT/single.json
-t1=$(date +%s.%N)
-echo "single wall: $(awk "BEGIN{print $t1-$t0}")s"
+# interleaved trials: single and 4-exec alternate so bursty VM steal
+# hits both configurations equally
+for t in $(seq 1 $TRIALS); do
+  echo "== trial $t: single executor 1x local[8] on cores 0-7, full corpus =="
+  run_one 0-7 "" $OUT/single_$t.json
+  grep -o '"extract_sec":[0-9.]*' $OUT/single_$t.json | tail -1
 
-echo "== 4 executors: 4x local[8], disjoint cores + chunk quarters =="
-t0=$(date +%s.%N)
-run_one 0-7   0/4 $OUT/e0.json &
-run_one 8-15  1/4 $OUT/e1.json &
-run_one 16-23 2/4 $OUT/e2.json &
-run_one 24-31 3/4 $OUT/e3.json &
-wait
-t1=$(date +%s.%N)
-echo "4-exec wall: $(awk -v a=$t0 -v b=$t1 'BEGIN{print b-a}')s"
+  echo "== trial $t: 4 executors 4x local[8], disjoint cores + chunk quarters =="
+  run_one 0-7   0/4 $OUT/e0_$t.json &
+  run_one 8-15  1/4 $OUT/e1_$t.json &
+  run_one 16-23 2/4 $OUT/e2_$t.json &
+  run_one 24-31 3/4 $OUT/e3_$t.json &
+  wait
+done
 
-python3 - "$OUT" <<'PYEOF'
-import json, sys, glob
-out = sys.argv[1]
+python3 - "$OUT" "$TRIALS" <<'PYEOF'
+import json, sys, glob, statistics
+out, trials = sys.argv[1], int(sys.argv[2])
 def load(f):
     return json.loads(open(f).read().strip().splitlines()[-1])
-single = load(f"{out}/single.json")
-execs = [load(f) for f in sorted(glob.glob(f"{out}/e[0-3].json"))]
-t1 = single['docs_per_sec']
-# aggregate: total docs / slowest executor's extract wall
-total_docs = sum(e['bench_docs'] for e in execs)
-wall = max(e['extract_sec'] for e in execs)
-t4 = total_docs / wall
-print(f"1 executor : {t1:.1f} docs/s ({single['extract_sec']:.1f}s for {single['bench_docs']})")
-for i, e in enumerate(execs):
-    print(f"  exec {i}: {e['bench_docs']} docs in {e['extract_sec']:.1f}s")
-print(f"4 executors: {t4:.1f} docs/s aggregate (slowest wall {wall:.1f}s)")
-print(f"SCALE-OUT EFFICIENCY (N -> 4N executors): {(t4/t1)/4:.3f}")
+singles, aggs = [], []
+for t in range(1, trials + 1):
+    s = load(f"{out}/single_{t}.json")
+    singles.append(s['docs_per_sec'])
+    execs = [load(f"{out}/e{i}_{t}.json") for i in range(4)]
+    total_docs = sum(e['bench_docs'] for e in execs)
+    wall = max(e['extract_sec'] for e in execs)
+    aggs.append(total_docs / wall)
+    print(f"trial {t}: single {s['docs_per_sec']:.1f} docs/s "
+          f"({s['extract_sec']:.1f}s/{s['bench_docs']}); "
+          f"4-exec {total_docs/wall:.1f} docs/s agg "
+          f"(walls {[round(e['extract_sec'],1) for e in execs]})")
+for name, f in [("best", max), ("median", statistics.median)]:
+    t1, t4 = f(singles), f(aggs)
+    print(f"{name}: single {t1:.1f} -> 4-exec {t4:.1f} docs/s, "
+          f"EFFICIENCY {(t4/t1)/4:.3f}")
 PYEOF
