@@ -53,15 +53,24 @@ object Bench {
     val docCount = docs.count()
 
     // --- north-star: extraction pipeline docs/sec ---------------------
-    // warm-up pass (JIT + code cache), then the measured pass
+    // warm-up pass (JIT + code cache), then N measured passes; the JSON
+    // carries best + median so scaling comparisons are robust to this
+    // VM's bursty noise (single multi-minute runs spread up to 2x on
+    // identical config — measured round 1 and round 2)
+    val measureRuns = sys.env.getOrElse("SPARK_GRAFT_MEASURE_RUNS", "1").toInt
     ExtractionPipeline.extract(docs, media, cpus * 4).count()
     import org.apache.spark.sql.functions.{col, count, lit, size, sum}
-    val t0 = System.nanoTime()
-    // single job, no materialization side-channel: count rows + spans
-    val agg = ExtractionPipeline.extract(docs, media, cpus * 4)
-      .agg(count(lit(1)), sum(size(col("spans")))).head()
-    val spanCount = agg.getLong(1)
-    val extractSec = (System.nanoTime() - t0) / 1e9
+    var spanCount = 0L
+    val runSecs = (1 to measureRuns).map { _ =>
+      val t0 = System.nanoTime()
+      // single job, no materialization side-channel: count rows + spans
+      val agg = ExtractionPipeline.extract(docs, media, cpus * 4)
+        .agg(count(lit(1)), sum(size(col("spans")))).head()
+      spanCount = agg.getLong(1)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val extractSec = runSecs.min
+    val extractSecMedian = runSecs.sorted.apply(runSecs.length / 2)
     // SPARK_GRAFT_SKIP_INVOICE=1 -> extract-only timing (the scaling
     // harness measures the north-star extract stage; the invoice chain
     // has its own timing in full runs)
@@ -87,7 +96,7 @@ object Bench {
     val docsPerSec = docCount / extractSec
     val spansPerSec = spanCount / extractSec
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","docs_per_sec":$docsPerSec%.1f,"spans_per_sec":$spansPerSec%.1f,"extract_sec":$extractSec%.3f,"invoice_sec":$invoiceSec%.3f,"bench_docs":$docCount,"invoices":$invoiceCount,"cpus":$cpus}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","docs_per_sec":$docsPerSec%.1f,"spans_per_sec":$spansPerSec%.1f,"extract_sec":$extractSec%.3f,"extract_sec_median":$extractSecMedian%.3f,"measure_runs":$measureRuns,"invoice_sec":$invoiceSec%.3f,"bench_docs":$docCount,"invoices":$invoiceCount,"cpus":$cpus}"""
     println(json)
     // belt-and-braces for log-prefix scrapers: the same line lands in a file
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach(p =>

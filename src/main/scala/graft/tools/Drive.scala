@@ -5,73 +5,46 @@ import org.apache.spark.sql.types.BinaryType
 import graft.pipeline.{ExtractionPipeline, SpanKernel}
 import graft.model.SpanTask
 
-/** Throwaway stage-cost probe: times extract variants on the cached
-  * bench corpus to attribute pipeline overhead. Delete after use.
+/** Throwaway probe: extract WITHOUT the salted byte shuffle, kernel on
+  * scan-granularity partitions (maxPartitionBytes sized small). Delete
+  * after use.
   */
 object Drive {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
-    val spark = ExtractionPipeline.session("graft-drive", cpus)
+    val mpb = sys.env.getOrElse("PROBE_MPB", "16m")
+    val spark = ExtractionPipeline.session("drive", cpus)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", mpb)
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
-    val dir = "/tmp/graft_bench_corpus_9000"
+    val dir = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "/tmp/graft_bench_corpus_36000")
     val docs = spark.read.parquet(s"$dir/docs")
     val media = spark.read.parquet(s"$dir/media")
 
-    def time(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = f
-      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2f s (rows=$n)")
-    }
-
-    // variant A: current full extract
-    def full(): Long = ExtractionPipeline.extract(docs, media, cpus * 4).count()
-
-    // variant B: kernel-only — explode, inner join, salt, kernel, count
-    def kernelOnly(): Long = {
+    def noShuffle(): (Long, Long) = {
       val tasks = docs.select(col("doc_id"), explode(col("spans")).as("span"))
         .select(col("doc_id"), col("span.offset").as("offset"),
           col("span.kind").as("kind"), col("span.text").as("text"),
           coalesce(col("span.media_ref"), lit("")).as("media_ref"))
       val inline = tasks.filter(col("media_ref") === lit(""))
         .withColumn("bytes", lit(null).cast(BinaryType))
-      val withMedia = tasks.filter(col("media_ref") =!= lit(""))
-        .join(media.select(col("media_ref"), col("bytes")), Seq("media_ref"), "inner")
+      val withMedia = media.select(col("media_ref"), col("bytes"))
+        .join(broadcast(tasks.filter(col("media_ref") =!= lit(""))), Seq("media_ref"))
       val cols = Seq("doc_id", "offset", "kind", "text", "media_ref", "bytes")
-      val all = inline.select(cols.map(col): _*)
-        .unionByName(withMedia.select(cols.map(col): _*))
-      val salted = all.repartition(cpus * 4,
-        pmod(xxhash64(col("doc_id"), col("offset")), lit(cpus * 4)))
-      salted.as[SpanTask].mapPartitions(_.flatMap(t => SpanKernel.process(t)))
-        .count()
-    }
-
-    // variant C: kernel + reassemble, NO final doc join
-    def noFinalJoin(): Long = {
-      val tasks = docs.select(col("doc_id"), explode(col("spans")).as("span"))
-        .select(col("doc_id"), col("span.offset").as("offset"),
-          col("span.kind").as("kind"), col("span.text").as("text"),
-          coalesce(col("span.media_ref"), lit("")).as("media_ref"))
-      val inline = tasks.filter(col("media_ref") === lit(""))
-        .withColumn("bytes", lit(null).cast(BinaryType))
-      val withMedia = tasks.filter(col("media_ref") =!= lit(""))
-        .join(media.select(col("media_ref"), col("bytes")), Seq("media_ref"), "inner")
-      val cols = Seq("doc_id", "offset", "kind", "text", "media_ref", "bytes")
-      val all = inline.select(cols.map(col): _*)
-        .unionByName(withMedia.select(cols.map(col): _*))
-      val salted = all.repartition(cpus * 4,
-        pmod(xxhash64(col("doc_id"), col("offset")), lit(cpus * 4)))
-      val subs = salted.as[SpanTask]
+      val all = withMedia.select(cols.map(col): _*)
+        .unionByName(inline.select(cols.map(col): _*))
+      val subs = all.as[SpanTask]
         .mapPartitions(_.flatMap(t => SpanKernel.process(t)))
-      ExtractionPipeline.reassemble(subs.toDF()).count()
+      val r = ExtractionPipeline.reassemble(subs.toDF())
+        .agg(count(lit(1)), sum(size(col("spans")))).head()
+      (r.getLong(0), r.getLong(1))
     }
-
-    // warm-up
-    kernelOnly()
-    time("kernel-only   ")(kernelOnly())
-    time("plus-reassemble")(noFinalJoin())
-    time("full-extract  ")(full())
-    time("kernel-only#2 ")(kernelOnly())
+    // warmup + measure
+    noShuffle()
+    val t0 = System.nanoTime()
+    val (rows, spans) = noShuffle()
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"NOSHUFFLE cpus=$cpus mpb=$mpb sec=$sec%.1f docs_per_sec=${rows / sec}%.1f rows=$rows spans=$spans")
     spark.stop()
   }
 }
