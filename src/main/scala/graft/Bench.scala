@@ -37,18 +37,28 @@ object Bench {
     // harness: K concurrent pinned JVMs over disjoint chunk sets model
     // K executors (separate heaps/GC) — the north rule's actual shape.
     import org.apache.spark.sql.functions.{col, element_at, lit, pmod, split => fsplit, xxhash64}
-    val docsAll = spark.read.parquet(s"$benchDir/docs")
-    val mediaAll = spark.read.parquet(s"$benchDir/media")
-    val (docs, media) = sys.env.get("SPARK_GRAFT_CHUNK") match {
+    val (docs, media) = sys.env.get("SPARK_GRAFT_CHUNK").filter(_.nonEmpty) match {
       case Some(spec) =>
         val Array(i, n) = spec.split("/").map(_.toInt)
-        // co-chunk media by the doc_id embedded in media_ref
-        // ("m/<doc_id>/<i>") — models Iceberg partition pruning: a real
-        // executor reads only its partitions' payloads, not the table
-        (docsAll.filter(pmod(xxhash64(col("doc_id")), lit(n)) === i),
-          mediaAll.filter(pmod(xxhash64(
-            element_at(fsplit(col("media_ref"), "/"), 2)), lit(n)) === i))
-      case None => (docsAll, mediaAll)
+        val staged = java.nio.file.Paths.get(benchDir, s"staged$n")
+        if (java.nio.file.Files.isDirectory(staged)) {
+          // storage co-partitioned layout (CorpusWarm STAGE_CHUNKS=n):
+          // the executor reads ONLY its partition directories — true
+          // Iceberg-style pruning, no scan-and-discard of other chunks
+          (spark.read.parquet(s"$staged/docs/chunk=$i"),
+            spark.read.parquet(s"$staged/media/chunk=$i"))
+        } else {
+          // fallback: full scan + hash filter (models the same split,
+          // but every executor pays the full-table scan)
+          (spark.read.parquet(s"$benchDir/docs")
+            .filter(pmod(xxhash64(col("doc_id")), lit(n)) === i),
+            spark.read.parquet(s"$benchDir/media")
+              .filter(pmod(xxhash64(
+                element_at(fsplit(col("media_ref"), "/"), 2)), lit(n)) === i))
+        }
+      case None =>
+        (spark.read.parquet(s"$benchDir/docs"),
+          spark.read.parquet(s"$benchDir/media"))
     }
     val docCount = docs.count()
 

@@ -15,6 +15,28 @@ object CorpusWarm {
     val spark = ExtractionPipeline.session("graft-corpus-warm", 32)
     spark.sparkContext.setLogLevel("WARN")
     CorpusGen.ensure(spark, dir, CorpusGen.Params(nDocs = nDocs))
+    // SPARK_GRAFT_STAGE_CHUNKS=n -> additionally lay the corpus out
+    // co-partitioned by chunk (docs by hash(doc_id); media by the
+    // doc_id embedded in media_ref) so chunked executors partition-
+    // prune instead of scan-and-filter — the Iceberg-layout stand-in.
+    sys.env.get("SPARK_GRAFT_STAGE_CHUNKS").map(_.toInt).foreach { n =>
+      val staged = java.nio.file.Paths.get(dir, s"staged$n")
+      if (!java.nio.file.Files.exists(staged.resolve("_staged_complete"))) {
+        import org.apache.spark.sql.functions._
+        spark.read.parquet(s"$dir/docs")
+          .withColumn("chunk", pmod(xxhash64(col("doc_id")), lit(n)))
+          .write.mode("overwrite").partitionBy("chunk")
+          .parquet(s"$staged/docs")
+        spark.read.parquet(s"$dir/media")
+          .withColumn("chunk", pmod(xxhash64(
+            element_at(split(col("media_ref"), "/"), 2)), lit(n)))
+          .write.mode("overwrite").partitionBy("chunk")
+          .parquet(s"$staged/media")
+        java.nio.file.Files.writeString(
+          staged.resolve("_staged_complete"), s"chunks=$n\n")
+      }
+      println(s"staged chunks ready: $staged")
+    }
     println(s"corpus ready: $dir")
     spark.stop()
   }

@@ -19,8 +19,8 @@ run_one() { # $1=cpulist $2=chunk-spec $3=outfile
   env $CHUNK_ENV taskset -c $1 java -cp "$CP" $JAVA_ARGS graft.Bench > $3 2>/dev/null
 }
 
-echo "== warm corpus (generate once) =="
-taskset -c 0-31 java -cp "$CP" $JAVA_ARGS -Xmx64g graft.tools.CorpusWarm 2>/dev/null
+echo "== warm corpus (generate + chunk-stage once) =="
+SPARK_GRAFT_STAGE_CHUNKS=4 taskset -c 0-31 java -cp "$CP" $JAVA_ARGS -Xmx64g graft.tools.CorpusWarm 2>/dev/null
 
 # interleaved trials: single and 4-exec alternate so bursty VM steal
 # hits both configurations equally
