@@ -10,10 +10,14 @@ object KernelProbe {
   def main(args: Array[String]): Unit = {
     val threads = sys.env.getOrElse("PROBE_THREADS", "8").toInt
     val decode = sys.env.getOrElse("PROBE_DECODE", "0") == "1"
-    val n = 2400
+    val n = sys.env.getOrElse("PROBE_N", "2400").toInt
     // pre-render payloads (not timed)
     val rng = new java.util.Random(1)
-    val rendered = (0 until 300).map { i =>
+    // PROBE_DISTINCT: images in the pre-rendered pool. The default 300
+    // cycles the pool (cache-friendlier than real data); set to n for
+    // all-distinct payloads (honest DRAM profile).
+    val nDistinct = sys.env.getOrElse("PROBE_DISTINCT", "300").toInt
+    val rendered = (0 until nDistinct).map { i =>
       val (lines, _) = CorpusGen.ocrInvoiceLines(rng, s"f$i")
       val skew = (i % 5 - 2) * 1.0
       GlyphFont.render(lines, scale = if (skew == 0.0) 2 else 3, skewDeg = skew,
