@@ -282,21 +282,25 @@ object Queries {
         k = 32, bands = 8, thresholdX1M = 900000L, neutral = true)
     }),
 
-    // dedup: SimHash + hamming distance to the next doc (rows-only)
+    // dedup: SimHash + hamming distance to the next doc, engine-neutral
+    // hash so the DuckDB oracle replicates the exact signatures
     "q25_simhash" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-        .select(col("doc_id"), DedupOps.simhash64(col("text")).as("simhash"))
+        .select(col("doc_id"),
+          DedupOps.simhash64(col("text"), neutral = true).as("simhash"))
       val nxt = d.select((col("doc_id") - 1).as("doc_id"),
         col("simhash").as("next_simhash"))
       d.join(nxt, Seq("doc_id"))
         .select(col("doc_id"), col("simhash"),
-          DedupOps.hamming64(col("simhash"), col("next_simhash")).as("hamming_next"))
+          DedupOps.hamming64(col("simhash"), col("next_simhash"))
+            .cast("int").as("hamming_next"))
     }),
 
-    // similarity: LSH-bucketed ANN (scale path; rows-only)
+    // similarity: LSH-bucketed ANN (scale path), engine-neutral
+    // hyperplanes so the oracle reproduces buckets + probes + re-rank
     "q26_lsh_topk" -> ((s, dir) =>
       SimilarityOps.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
-        queryId = 0L, k = 10, bits = 8)),
+        queryId = 0L, k = 10, bits = 8, neutral = true)),
 
     // V10 — categorized warnings map<category, array<msg>>, rendered as
     // a deterministic 'cat=msg;msg|cat=...' string for cross-engine
@@ -599,8 +603,37 @@ object Queries {
                THEN CAST(FLOOR(len(list_intersect(ga.g, gb.g)) * 1000000 / (len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g)))) AS BIGINT)
                ELSE 1000000 END AS jaccard_x1m
            FROM pairs JOIN ng ga ON ga.doc_id = id_a JOIN ng gb ON gb.doc_id = id_b)
-         WHERE jaccard_x1m >= 900000"""
-    // q25_simhash / q26_lsh_topk: engine-hash-specific (xxhash64);
-    // driver records rows-only checks.
+         WHERE jaccard_x1m >= 900000""",
+
+    // SimHash lattice twin: per-token md5-derived hash → per-bit ±1
+    // votes → sign-packed 64-bit signature (bits 60-63 provably 0) →
+    // hamming to the successor doc.
+    "q25_simhash" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         h AS (SELECT doc_id, list_transform(toks, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS hs FROM t),
+         sig AS (SELECT doc_id,
+           CAST(list_sum(list_transform(range(0, 64), i ->
+             CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN (x >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                  THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS simhash
+           FROM h)
+         SELECT a.doc_id, a.simhash, CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming_next
+         FROM sig a JOIN sig b ON b.doc_id = a.doc_id + 1""",
+
+    // LSH-ANN lattice twin: md5-derived hyperplane components
+    // recentred to [-1,1), sign-packed 8-bit bucket, probe = exact
+    // bucket + all 1-bit flips, exact cosine re-rank of candidates.
+    "q26_lsh_topk" ->
+      """WITH sig AS (SELECT vec_id, embedding,
+           CAST(list_sum(list_transform(range(0, 8), i ->
+             CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1), j ->
+               embedding[j] * ((CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || CAST(j - 1 AS VARCHAR)), 1, 15) AS BIGINT) - 576460752303423488.0) / 576460752303423488.0))) > 0
+                  THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS sig
+           FROM embeddings),
+         q AS (SELECT embedding AS qv, sig AS qs FROM sig WHERE vec_id = 0),
+         probes AS (SELECT qs AS p FROM q UNION ALL SELECT xor(qs, CAST(1 AS BIGINT) << i) FROM q, range(0, 8) r(i)),
+         cand AS (SELECT DISTINCT s.vec_id, round(list_cosine_similarity(s.embedding, (SELECT qv FROM q)), 6) AS cos_sim
+                  FROM sig s WHERE s.sig IN (SELECT p FROM probes)),
+         ranked AS (SELECT vec_id, cos_sim, row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rank FROM cand)
+         SELECT vec_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM ranked WHERE rank <= 10"""
   )
 }

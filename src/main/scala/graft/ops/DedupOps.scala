@@ -116,14 +116,17 @@ object DedupOps {
 
   /** 64-bit SimHash over whitespace tokens: per-bit ±1 votes folded with
     * HOFs, packed as the sign vector. Per-row, zero shuffle.
+    * `neutral = true` swaps xxhash64 for the md5-derived hash (60
+    * effective bits — the top 4 sign bits stay 0) so the signature is
+    * DuckDB-reproducible; xxhash64 stays the engine default.
     */
-  def simhash64(text: Column): Column = {
+  def simhash64(text: Column, neutral: Boolean = false): Column = {
     val tokens = split(text, " ")
     val votes = aggregate(
       tokens,
       array_repeat(lit(0), 64),
       (acc, t) => {
-        val h = xxhash64(t)
+        val h = if (neutral) md5Hash64(t) else xxhash64(t)
         zip_with(acc, sequence(lit(0), lit(63)), (a, i) =>
           a + when(call_function("shiftright", h, i).bitwiseAND(1) === 1, 1).otherwise(-1))
       })

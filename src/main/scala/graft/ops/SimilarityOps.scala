@@ -65,19 +65,28 @@ object SimilarityOps {
   /** Random-hyperplane LSH signature: bit i = sign of dot(v, h_i) where
     * hyperplane components are deterministic pseudo-random ±values from
     * xxhash64(i, dim). Per-row HOFs; bucket join replaces all-pairs.
+    * `neutral = true` derives components from the md5-based hash
+    * (DedupOps.md5Hash64, 60 bits recentred to [-1, 1)) so the bucket
+    * assignment is DuckDB-reproducible; xxhash64 stays the default.
     */
-  def hyperplaneSignature(vec: Column, bits: Int): Column = {
+  def hyperplaneSignature(vec: Column, bits: Int, neutral: Boolean = false): Column = {
     val dims = sequence(lit(0), size(vec) - 1)
+    val half = math.pow(2, 59)
     aggregate(
       zip_with(
         sequence(lit(0), lit(bits - 1)),
         array_repeat(lit(0L), bits), // placeholder to thread the index
         (i, _) => {
           val d = aggregate(
-            zip_with(vec, dims, (x, j) =>
-              x.cast("double") *
-                // deterministic hyperplane component in [-1, 1)
-                (xxhash64(i, j).cast("double") / lit(Long.MaxValue.toDouble))),
+            zip_with(vec, dims, (x, j) => {
+              // deterministic hyperplane component in [-1, 1)
+              val comp =
+                if (neutral)
+                  (DedupOps.md5Hash64(concat(i.cast("string"), lit(":"),
+                    j.cast("string"))).cast("double") - lit(half)) / lit(half)
+                else xxhash64(i, j).cast("double") / lit(Long.MaxValue.toDouble)
+              x.cast("double") * comp
+            }),
             lit(0.0), (acc, x) => acc + x)
           when(d > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))
         }),
@@ -90,9 +99,10 @@ object SimilarityOps {
     */
   def lshTopK(
       embeddings: DataFrame, idCol: String, vecCol: String,
-      queryId: Long, k: Int, bits: Int = 12): DataFrame = {
+      queryId: Long, k: Int, bits: Int = 12,
+      neutral: Boolean = false): DataFrame = {
     val withSig = embeddings.select(col(idCol), col(vecCol),
-      hyperplaneSignature(col(vecCol), bits).as("sig"))
+      hyperplaneSignature(col(vecCol), bits, neutral).as("sig"))
     val query = withSig.filter(col(idCol) === queryId)
       .select(col(vecCol).as("query_vec"), col("sig").as("query_sig"))
     // probe buckets: exact signature plus all 1-bit flips
