@@ -7,9 +7,15 @@ set -e
 CP="/root/repo/target/scala-2.13/classes:/opt/spark/jars/*"
 SCALA_LIB=$(ls /opt/spark/jars/scala-library*.jar 2>/dev/null | head -1)
 OPENS="--add-opens=java.base/java.lang=ALL-UNNAMED --add-opens=java.base/java.lang.invoke=ALL-UNNAMED --add-opens=java.base/java.lang.reflect=ALL-UNNAMED --add-opens=java.base/java.io=ALL-UNNAMED --add-opens=java.base/java.net=ALL-UNNAMED --add-opens=java.base/java.nio=ALL-UNNAMED --add-opens=java.base/java.util=ALL-UNNAMED --add-opens=java.base/java.util.concurrent=ALL-UNNAMED --add-opens=java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens=java.base/sun.nio.ch=ALL-UNNAMED --add-opens=java.base/sun.nio.cs=ALL-UNNAMED --add-opens=java.base/sun.security.action=ALL-UNNAMED --add-opens=java.base/sun.util.calendar=ALL-UNNAMED"
-JAVA_ARGS="$OPENS -Xmx14g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC"
+# fixed pre-touched heap: lazy heap commit caused cross-JVM page-fault
+# storms (35-48% system time, half the cores idle — measured round 2);
+# pretouch moved 4-exec walls from 68-84s to 52-55s on the 36k corpus
+JAVA_ARGS="$OPENS -Xms12g -Xmx12g -XX:+AlwaysPreTouch -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC"
 export SPARK_GRAFT_SKIP_QUERIES=1 SPARK_GRAFT_SKIP_INVOICE=1
 export SPARK_GRAFT_BENCH_DOCS=${DOCS:-9000} SPARK_GRAFT_CPUS=8
+# best/median-of-3 measured passes per JVM (VM noise spreads single
+# multi-minute shots up to 2x; see BENCH/BASELINE.md variance section)
+export SPARK_GRAFT_MEASURE_RUNS=${MEASURE_RUNS:-3}
 TRIALS=${TRIALS:-2}
 OUT=${OUT:-/tmp/execbench}
 mkdir -p $OUT
