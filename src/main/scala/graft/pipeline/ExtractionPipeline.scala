@@ -51,38 +51,43 @@ object ExtractionPipeline {
     val spark = docs.sparkSession
     import spark.implicits._
 
+    // explode_outer + sentinel kind: a doc with an empty (or null)
+    // spans array yields one EmptyDoc task whose kernel output is a
+    // marker sub-span, stripped during reassembly — so every input
+    // doc_id reaches the output WITHOUT a driver-side join back to the
+    // docs table (which `explain` showed as an extra full scan + a
+    // SortMergeJoin with sorts on both sides).
     val tasks = docs
-      .select(col("doc_id"), explode(col("spans")).as("span"))
+      .select(col("doc_id"), explode_outer(col("spans")).as("span"))
       .select(
         col("doc_id"),
-        col("span.offset").as("offset"),
-        coalesce(col("span.kind"), lit("")).as("kind"),
+        coalesce(col("span.offset"), lit(0)).as("offset"),
+        coalesce(col("span.kind"), lit(SpanKernel.EmptyDocKind)).as("kind"),
         coalesce(col("span.text"), lit("")).as("text"),
         // NULL media_ref ≡ inline: `=!= ""` on NULL is NULL (row would
         // silently drop from BOTH filter branches)
         coalesce(col("span.media_ref"), lit("")).as("media_ref"))
 
-    // inline spans skip the media join entirely (see scale notes above)
-    val inline = tasks
-      .filter(col("media_ref") === lit(""))
+    // Two branches, each one pruned scan of docs (explain-audited —
+    // a third inline-only branch would scan docs again for nothing):
+    //  - INNER join: with tasks preserved on the probe side of an
+    //    outer join only the media side could broadcast; inner lets
+    //    Catalyst/AQE broadcast the (payload-free) task side instead,
+    //    so the bytes stay put.
+    //  - LEFT ANTI: everything without a payload row — inline
+    //    text/html spans (media_ref "" matches nothing) AND spans
+    //    whose media is missing (payload NULL → the kernel's
+    //    missing-payload error span). One branch covers both.
+    val mediaClean = media
+      .select(col("media_ref"), col("bytes"))
+      .filter(col("media_ref") =!= lit(""))
+    val withMedia = tasks.join(mediaClean, Seq("media_ref"), "inner")
+    val rest = tasks
+      .join(mediaClean.select(col("media_ref")), Seq("media_ref"), "left_anti")
       .withColumn("bytes", lit(null).cast(BinaryType))
 
-    // INNER join: with tasks preserved on the probe side of an outer
-    // join only the media side could broadcast; inner lets Catalyst/AQE
-    // broadcast the (payload-free) task side instead, so the bytes stay
-    // put. Missing media is recovered by the anti-join below (payload
-    // NULL → the kernel's missing-payload error span), preserving the
-    // outer join's semantics without its shape.
-    val mediaTasks = tasks.filter(col("media_ref") =!= lit(""))
-    val withMedia = mediaTasks
-      .join(media.select(col("media_ref"), col("bytes")), Seq("media_ref"), "inner")
-    val missingMedia = mediaTasks
-      .join(media.select(col("media_ref")), Seq("media_ref"), "left_anti")
-      .withColumn("bytes", lit(null).cast(BinaryType))
-
-    val all = inline.select(taskCols.map(col): _*)
-      .unionByName(withMedia.select(taskCols.map(col): _*))
-      .unionByName(missingMedia.select(taskCols.map(col): _*))
+    val all = withMedia.select(taskCols.map(col): _*)
+      .unionByName(rest.select(taskCols.map(col): _*))
 
     // Salted repartition on hash(doc_id, offset): spreads whale docs at
     // span granularity. Measured: removing this shuffle drops kernel
@@ -105,21 +110,13 @@ object ExtractionPipeline {
     val subs = salted.as[SpanTask]
       .mapPartitions(_.flatMap(t => SpanKernel.process(t, asOf)))
 
-    val assembled = reassemble(subs.toDF())
-
-    // re-attach docs that produced no kernel tasks (empty spans array):
-    // left join on doc_id — co-partitioned with reassemble's groupBy
-    // output, so no extra full shuffle of the data side
-    docs.select(col("doc_id"))
-      .join(assembled, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("spans"), expr(
-          "cast(array() as array<struct<kind:string,text:string,media_ref:string,offset:int>>)"))
-          .as("spans"))
+    reassemble(subs.toDF())
   }
 
   /** Rebuild `(doc_id, spans)` rows from kernel sub-spans: sort by
     * (source offset, sub index), renumber offsets contiguously.
+    * Empty-doc marker sub-spans keep the doc_id alive through the
+    * groupBy and are stripped here, leaving an empty spans array.
     */
   def reassemble(subs: DataFrame): DataFrame = {
     subs
@@ -129,7 +126,9 @@ object ExtractionPipeline {
         col("media_ref")))).as("raw"))
       .select(
         col("doc_id"),
-        expr("""transform(raw, (x, i) -> named_struct(
+        expr(s"""transform(
+                 filter(raw, x -> x.kind != '${SpanKernel.EmptyDocKind}'),
+                 (x, i) -> named_struct(
                  'kind', x.kind, 'text', x.text,
                  'media_ref', x.media_ref, 'offset', cast(i as int)))""")
           .as("spans"))

@@ -27,11 +27,20 @@ object SpanKernel {
   val TextKind = "text"
   val ErrorKind = "error"
 
+  /** Sentinel task kind for a doc whose spans array was empty/null
+    * (explode_outer row): the kernel answers with a marker sub-span so
+    * the doc_id survives the reassembly groupBy; reassemble strips the
+    * marker, yielding an empty output spans array.
+    */
+  val EmptyDocKind = "__empty_doc"
+
   def process(t: SpanTask, asOf: LocalDate = DateExtract.DefaultAsOf): Seq[SubSpan] = {
     try {
       t.kind match {
         case "text" =>
           Seq(sub(t, 0, t.text, ""))
+        case EmptyDocKind =>
+          Seq(SubSpan(t.doc_id, 0, 0, EmptyDocKind, "", "", ""))
         case "html" =>
           Seq(sub(t, 0, HtmlStrip.strip(t.text), ""))
         case "pdf" | "png" | "jpeg" | "zip" =>
