@@ -64,10 +64,12 @@ object Bench {
 
     // --- north-star: extraction pipeline docs/sec ---------------------
     // warm-up pass (JIT + code cache), then N measured passes; the JSON
-    // carries best + median so scaling comparisons are robust to this
-    // VM's bursty noise (single multi-minute runs spread up to 2x on
-    // identical config — measured round 1 and round 2)
-    val measureRuns = sys.env.getOrElse("SPARK_GRAFT_MEASURE_RUNS", "1").toInt
+    // carries best + median + the per-pass list so scaling comparisons
+    // are robust to this VM's bursty noise (single multi-minute runs
+    // spread up to 2x on identical config — measured rounds 1 and 2).
+    // Default 3 so the DRIVER-run bench carries the same methodology
+    // the committed tables use (round-2 verdict: measure_runs was 1).
+    val measureRuns = sys.env.getOrElse("SPARK_GRAFT_MEASURE_RUNS", "3").toInt
     ExtractionPipeline.extract(docs, media, cpus * 4).count()
     import org.apache.spark.sql.functions.{col, count, lit, size, sum}
     var spanCount = 0L
@@ -105,8 +107,12 @@ object Bench {
     val total = results.map(_._2).sum + extractSec + invoiceSec
     val docsPerSec = docCount / extractSec
     val spansPerSec = spanCount / extractSec
+    // per-pass seconds: the executor harness aggregates 4-JVM passes by
+    // PASS INDEX (same measured round across JVMs) — aggregating each
+    // JVM's best-of-different-windows overstates concurrent throughput
+    val secsArr = runSecs.map(s => f"$s%.3f").mkString("[", ",", "]")
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","docs_per_sec":$docsPerSec%.1f,"spans_per_sec":$spansPerSec%.1f,"extract_sec":$extractSec%.3f,"extract_sec_median":$extractSecMedian%.3f,"measure_runs":$measureRuns,"invoice_sec":$invoiceSec%.3f,"bench_docs":$docCount,"invoices":$invoiceCount,"cpus":$cpus}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","docs_per_sec":$docsPerSec%.1f,"spans_per_sec":$spansPerSec%.1f,"extract_sec":$extractSec%.3f,"extract_sec_median":$extractSecMedian%.3f,"extract_secs":$secsArr,"measure_runs":$measureRuns,"invoice_sec":$invoiceSec%.3f,"bench_docs":$docCount,"invoices":$invoiceCount,"cpus":$cpus}"""
     println(json)
     // belt-and-braces for log-prefix scrapers: the same line lands in a file
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach(p =>

@@ -25,6 +25,49 @@ object Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  import org.apache.spark.sql.Column
+
+  /** Invoice fields synthesized from an orders key — shared by the two
+    * V10 queries (q28 categorized rendering, q29 is_valid/flat count)
+    * so their oracles describe one dataset.
+    */
+  private final case class SynthInvoice(
+      filename: Column, num: Column, vendorName: Column, street: Column,
+      state: Column, country: Column, date: Column, grand: Column,
+      taxes: Column, fin: Column, pages: Column)
+
+  private def decOf(c: Column): Column =
+    concat(when(c < 0, "-").otherwise(""),
+      format_string("%d.%02d", floor(abs(c) / 100).cast("long"), abs(c) % 100))
+      .cast("decimal(18,2)")
+
+  private def synthInvoice(k: Column): SynthInvoice = {
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val sign = when(k % 17 === 0, -1L).otherwise(1L)
+    val taxC = floor(cents / 10).cast("long")
+    SynthInvoice(
+      filename = concat(lit("f"), k.cast("string")),
+      num = when(k % 7 === 0, lit(null).cast("string"))
+        .when(k % 13 === 0, lit("BAD!"))
+        .otherwise(concat(lit("INV-"), lpad(k.cast("string"), 7, "0"))),
+      vendorName = when(k % 5 === 0, "").otherwise("Acme Supply Co"),
+      street = when(k % 3 === 0, "").otherwise("12 Main St"),
+      state = when(k % 15 === 0, "").otherwise("IL"),
+      country = when(k % 2 === 0, "").otherwise("US"),
+      date = when(k % 4 === 0, lit(null).cast("date"))
+        .otherwise(date_add(to_date(col("o_orderdate")),
+          when(k % 10 === 0, 30000).otherwise(0))),
+      grand = when(k % 11 === 0, lit(null).cast("decimal(18,2)"))
+        .otherwise(decOf(cents * sign)),
+      taxes = decOf(taxC),
+      fin = when(k % 19 === 0, lit(null).cast("decimal(18,2)"))
+        .otherwise(decOf(cents * sign + taxC + when(k % 6 === 0, 2L).otherwise(0L))),
+      pages = when(k % 9 === 0, lit(0)).otherwise(lit(1)))
+  }
+
+  private val emptyItems = expr("cast(array() as array<struct<" +
+    "description:string,quantity:int,unit_price:decimal(18,2),total:decimal(18,2)>>)")
+
   // ---------------------------------------------------------------------
   // Spark side
   // ---------------------------------------------------------------------
@@ -300,7 +343,7 @@ object Queries {
     // hyperplanes so the oracle reproduces buckets + probes + re-rank
     "q26_lsh_topk" -> ((s, dir) =>
       SimilarityOps.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
-        queryId = 0L, k = 10, bits = 8, neutral = true)),
+        queryId = 0L, k = 10, bits = 8, dims = 64, neutral = true)),
 
     // V10 — categorized warnings map<category, array<msg>>, rendered as
     // a deterministic 'cat=msg;msg|cat=...' string for cross-engine
@@ -308,35 +351,12 @@ object Queries {
     // orders; every category except filename/taxes can fire.
     "q28_categorized_warnings" -> ((s, dir) => {
       val k = col("o_orderkey")
-      val cents = round(col("o_totalprice") * 100).cast("long")
-      def decOf(c: org.apache.spark.sql.Column) =
-        concat(when(c < 0, "-").otherwise(""),
-          format_string("%d.%02d", floor(abs(c) / 100).cast("long"), abs(c) % 100))
-          .cast("decimal(18,2)")
-      val sign = when(k % 17 === 0, -1L).otherwise(1L)
-      val taxC = floor(cents / 10).cast("long")
-      val num = when(k % 7 === 0, lit(null).cast("string"))
-        .when(k % 13 === 0, lit("BAD!"))
-        .otherwise(concat(lit("INV-"), lpad(k.cast("string"), 7, "0")))
-      val vendorName = when(k % 5 === 0, "").otherwise("Acme Supply Co")
-      val street = when(k % 3 === 0, "").otherwise("12 Main St")
-      val state = when(k % 15 === 0, "").otherwise("IL")
-      val country = when(k % 2 === 0, "").otherwise("US")
-      val date = when(k % 4 === 0, lit(null).cast("date"))
-        .otherwise(date_add(to_date(col("o_orderdate")),
-          when(k % 10 === 0, 30000).otherwise(0)))
-      val grand = when(k % 11 === 0, lit(null).cast("decimal(18,2)"))
-        .otherwise(decOf(cents * sign))
-      val taxes = decOf(taxC)
-      val fin = when(k % 19 === 0, lit(null).cast("decimal(18,2)"))
-        .otherwise(decOf(cents * sign + taxC + when(k % 6 === 0, 2L).otherwise(0L)))
-      val pages = when(k % 9 === 0, lit(0)).otherwise(lit(1))
-      val noItems = expr("cast(array() as array<struct<" +
-        "description:string,quantity:int,unit_price:decimal(18,2),total:decimal(18,2)>>)")
+      val f = synthInvoice(k)
       val m = VE.categorizedWarnings(
-        concat(lit("f"), k.cast("string")), num, vendorName,
-        street, lit("Springfield"), state, lit("62704"), country,
-        date, lit(AsOf).cast("date"), grand, taxes, fin, pages, noItems)
+        f.filename, f.num, f.vendorName,
+        f.street, lit("Springfield"), f.state, lit("62704"), f.country,
+        f.date, lit(AsOf).cast("date"), f.grand, f.taxes, f.fin, f.pages,
+        emptyItems)
       val rendered = concat_ws("|", VE.CategoryOrder.map { c =>
         val v = element_at(m, lit(c))
         when(size(v) > 0, concat(lit(c), lit("="), array_join(v, ";")))
@@ -345,21 +365,46 @@ object Queries {
     }),
 
     // dedup: embedding-cosine near-dup pairs on a corpus with planted
-    // exact dups (vec_id + 1e6). Oracle-exact twin of the LSH scale
-    // path: the self-join here is the sf-scale correctness baseline;
-    // at 10^12 rows the LSH-bucketed variant (q26) replaces the
-    // all-pairs join.
+    // exact dups (vec_id + 1e6) — LSH-bucketed candidates (hyperplane
+    // signature, hamming-1 probes) + exact-cosine verify, the 100-TB
+    // shape. The oracle mirrors the buckets, so recall decisions are
+    // engine-identical. Replaces the round-2 all-pairs
+    // BroadcastNestedLoopJoin baseline (PlanSpec now forbids that plan
+    // shape suite-wide).
     "q27_embedding_neardup" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").filter(col("vec_id") % 5 === 0)
         .select(col("vec_id"), col("embedding"))
       val p = e.unionByName(e.select(
         (col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
-      val a = p.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-      val b = p.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
-      a.join(b, col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          round(SimilarityOps.cosine(col("emb_a"), col("emb_b")), 6).as("cos_sim"))
-        .filter(col("cos_sim") >= 0.9)
+      SimilarityOps.embeddingNearDupPairs(p, "vec_id", "embedding",
+        bits = 8, dims = 64, threshold = 0.9, neutral = true)
+    }),
+
+    // V10 full tuple — is_valid (validator.py:31-33 returns
+    // (is_valid, flat, categorized); q28 covers categorized, this
+    // covers is_valid + the flat count) over the same synthesized
+    // fields plus a REAL items array: when k%3==1 one item
+    // (qty=k%7+1, unit 2.50, total = qty*2.50, +0.02 off when k%16==0
+    // → the V9 mismatch boundary), else empty → the no-items warning.
+    "q29_is_valid" -> ((s, dir) => {
+      val k = col("o_orderkey")
+      val f = synthInvoice(k)
+      val qty = (k % 7 + 1).cast("int")
+      val itemCents = qty * 250 + when(k % 16 === 0, 2L).otherwise(0L)
+      val items = when(k % 3 === 1,
+        array(struct(lit("Widget").as("description"), qty.as("quantity"),
+          lit("2.50").cast("decimal(18,2)").as("unit_price"),
+          decOf(itemCents).as("total"))))
+        .otherwise(emptyItems)
+      val m = VE.categorizedWarnings(
+        f.filename, f.num, f.vendorName,
+        f.street, lit("Springfield"), f.state, lit("62704"), f.country,
+        f.date, lit(AsOf).cast("date"), f.grand, f.taxes, f.fin, f.pages,
+        items)
+      val flat = flatten(map_values(m))
+      t(s, dir, "orders").select(k,
+        (size(flat) === 0).cast("int").as("is_valid"),
+        size(flat).cast("int").as("n_warnings"))
     })
   )
 
@@ -561,13 +606,71 @@ object Queries {
              'items=No line items found in the invoice') AS warnings_by_category
          FROM g""",
 
+    // V10 is_valid twin: same synthesized fields as q28 (shared
+    // synthInvoice CTE shape) but with the q29 items rule — one valid
+    // item when k%3=1 (mismatching total when k%16=0), else empty.
+    // Counts warnings per category instead of rendering messages (the
+    // message text is oracle-checked by q28).
+    "q29_is_valid" ->
+      """WITH f AS (
+           SELECT o_orderkey AS k,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(FLOOR(CAST(round(o_totalprice * 100) AS BIGINT) / 10) AS BIGINT) AS taxc,
+             CASE WHEN o_orderkey % 17 = 0 THEN -1 ELSE 1 END AS sgn,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL WHEN o_orderkey % 13 = 0 THEN 'BAD!' ELSE 'INV-' || lpad(CAST(o_orderkey AS VARCHAR), 7, '0') END AS num,
+             CASE WHEN o_orderkey % 5 = 0 THEN '' ELSE 'Acme Supply Co' END AS vname,
+             CASE WHEN o_orderkey % 3 = 0 THEN '' ELSE '12 Main St' END AS street,
+             CASE WHEN o_orderkey % 15 = 0 THEN '' ELSE 'IL' END AS st,
+             CASE WHEN o_orderkey % 2 = 0 THEN '' ELSE 'US' END AS country,
+             CASE WHEN o_orderkey % 4 = 0 THEN NULL ELSE CAST(o_orderdate AS DATE) + (CASE WHEN o_orderkey % 10 = 0 THEN 30000 ELSE 0 END) END AS d,
+             CASE WHEN o_orderkey % 9 = 0 THEN 0 ELSE 1 END AS pages
+           FROM orders),
+         g AS (
+           SELECT *,
+             CASE WHEN k % 11 = 0 THEN NULL ELSE CAST((CASE WHEN cents*sgn < 0 THEN '-' ELSE '' END || printf('%d.%02d', CAST(FLOOR(abs(cents*sgn)/100) AS BIGINT), abs(cents*sgn) % 100)) AS DECIMAL(18,2)) END AS grand,
+             CAST(printf('%d.%02d', CAST(FLOOR(taxc/100) AS BIGINT), taxc % 100) AS DECIMAL(18,2)) AS taxes,
+             CASE WHEN k % 19 = 0 THEN NULL ELSE CAST((CASE WHEN cents*sgn + taxc + (CASE WHEN k % 6 = 0 THEN 2 ELSE 0 END) < 0 THEN '-' ELSE '' END || printf('%d.%02d', CAST(FLOOR(abs(cents*sgn + taxc + (CASE WHEN k % 6 = 0 THEN 2 ELSE 0 END))/100) AS BIGINT), abs(cents*sgn + taxc + (CASE WHEN k % 6 = 0 THEN 2 ELSE 0 END)) % 100)) AS DECIMAL(18,2)) END AS fin
+           FROM f),
+         n AS (
+           SELECT k,
+             (CASE WHEN num IS NULL OR trim(num) = '' THEN 1 WHEN NOT regexp_matches(num, '^[A-Za-z0-9-]{5,}$') THEN 1 ELSE 0 END)
+             + (CASE WHEN vname = '' THEN 1 ELSE 0 END)
+             + (CASE WHEN street = '' THEN 1 ELSE 0 END)
+             + (CASE WHEN st = '' THEN 1 ELSE 0 END)
+             + (CASE WHEN country = '' THEN 1 ELSE 0 END)
+             + (CASE WHEN d IS NULL THEN 1 WHEN d > DATE '2025-04-18' THEN 1 ELSE 0 END)
+             + (CASE WHEN grand IS NULL THEN 1 WHEN grand < 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN fin IS NULL THEN 1 WHEN fin < 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN grand IS NOT NULL AND fin IS NOT NULL AND abs(grand + taxes - fin) > 0.01 THEN 1 ELSE 0 END)
+             + (CASE WHEN pages < 1 THEN 1 ELSE 0 END)
+             + (CASE WHEN k % 3 = 1 THEN (CASE WHEN k % 16 = 0 THEN 1 ELSE 0 END) ELSE 1 END) AS nw
+           FROM g)
+         SELECT k AS o_orderkey,
+           CASE WHEN nw = 0 THEN 1 ELSE 0 END AS is_valid,
+           CAST(nw AS INTEGER) AS n_warnings
+         FROM n""",
+
+    // Bucketed near-dup twin: same hyperplane signature formula as q26
+    // (8 bits, md5-derived components), probe set = exact bucket + all
+    // 1-bit flips, exact-cosine verify of the DISTINCT candidate pairs.
     "q27_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
-              p AS (SELECT vec_id, embedding FROM e UNION ALL SELECT vec_id + 1000000, embedding FROM e)
-         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cos_sim
-         FROM p a JOIN p b ON a.vec_id < b.vec_id
-         WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.9""",
+         p AS (SELECT vec_id, embedding FROM e UNION ALL SELECT vec_id + 1000000, embedding FROM e),
+         sig AS (SELECT vec_id,
+           CAST(list_sum(list_transform(range(0, 8), i ->
+             CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1), j ->
+               embedding[j] * ((CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || CAST(j - 1 AS VARCHAR)), 1, 15) AS BIGINT) - 576460752303423488.0) / 576460752303423488.0))) > 0
+                  THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS sig
+           FROM p),
+         probes AS (SELECT vec_id AS id_b, sig AS probe FROM sig
+                    UNION ALL
+                    SELECT vec_id, xor(sig, CAST(1 AS BIGINT) << i) FROM sig, range(0, 8) r(i)),
+         pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.id_b
+                   FROM sig a JOIN probes b ON a.sig = b.probe AND a.vec_id < b.id_b)
+         SELECT id_a, id_b,
+                round(list_cosine_similarity(ea.embedding, eb.embedding), 6) AS cos_sim
+         FROM pairs JOIN p ea ON ea.vec_id = id_a JOIN p eb ON eb.vec_id = id_b
+         WHERE round(list_cosine_similarity(ea.embedding, eb.embedding), 6) >= 0.9""",
 
     "q23_cosine_topk" ->
       """SELECT vec_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
@@ -576,10 +679,12 @@ object Queries {
            FROM embeddings)
          WHERE rank <= 10""",
 
-    // Full MinHash+LSH lattice twin: shingle → per-seed min of the
-    // md5-derived 64-bit hash → banded buckets → distinct candidate
-    // pairs → char-3-gram Jaccard verify. Mirrors DedupOps with
-    // neutral=true (k=32, bands=8, rows/band=4, threshold 0.9).
+    // Full MinHash+LSH lattice twin: shingle → ONE md5-derived 64-bit
+    // hash per shingle → per-seed rotate-xor mixing (rotate right by
+    // seed within 60 bits, xor md5('seed:'||seed)) → per-seed minima →
+    // banded buckets → distinct candidate pairs → char-3-gram Jaccard
+    // verify. Mirrors DedupOps with neutral=true (k=32, bands=8,
+    // rows/band=4, threshold 0.9).
     "q24_minhash_lsh" ->
       """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
          p AS (SELECT doc_id, text FROM base UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM base),
@@ -588,9 +693,12 @@ object Queries {
            CASE WHEN len(toks) >= 3
              THEN list_distinct([concat_ws(' ', toks[i], toks[i+1], toks[i+2]) FOR i IN range(1, len(toks) - 1)])
              ELSE [array_to_string(toks, ' ')] END AS shingles FROM tok),
+         hs AS (SELECT doc_id, list_transform(shingles, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS hs FROM sh),
          sig AS (SELECT doc_id,
-           [list_min([CAST('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || s), 1, 15) AS BIGINT) FOR s IN shingles]) FOR seed IN range(0, 32)] AS sig
-           FROM sh),
+           [list_min([xor((h >> seed) | ((h & ((CAST(1 AS BIGINT) << seed) - 1)) << (60 - seed)),
+                          CAST('0x' || substr(md5('seed:' || CAST(seed AS VARCHAR)), 1, 15) AS BIGINT))
+             FOR h IN hs]) FOR seed IN range(0, 32)] AS sig
+           FROM hs),
          bands AS (SELECT doc_id, b,
            md5(array_to_string(list_transform(list_slice(sig, b*4+1, b*4+4), x -> CAST(x AS VARCHAR)), ',')) AS bucket
            FROM sig, range(0, 8) r(b)),

@@ -178,13 +178,14 @@ object FieldExtract {
 
   /** Entity-map path (data_extractor.py:276-345). Note total_amount maps
     * to BOTH grand_total and final_total (kept); invoice_date must be
-    * strict `%Y-%m-%d`.
+    * strict `%Y-%m-%d`; pages is hardcoded 1 exactly like
+    * `_extract_from_docai` (data_extractor.py:341 — only the GCV path
+    * carries `ocr_result['num_pages']`).
     */
   def extractFromEntities(
       entities: Map[String, String],
       tables: Seq[Seq[Seq[String]]],
       filename: String,
-      numPages: Int = 1,
       asOf: java.time.LocalDate = DateExtract.DefaultAsOf): Invoice = {
     val vendor = Vendor(
       name = entities.getOrElse("supplier_name", ""),
@@ -210,7 +211,7 @@ object FieldExtract {
       taxes = entities.get("total_tax_amount").flatMap(parseDecimal),
       final_total = entities.get("total_amount").flatMap(parseDecimal),
       items = extractItemsDocai(tables),
-      pages = numPages)
+      pages = 1)
   }
 
   /** GCV/regex path (data_extractor.py:347-372), date handled by

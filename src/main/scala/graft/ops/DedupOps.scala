@@ -26,14 +26,24 @@ object DedupOps {
   /** 3-token shingles — the minhash unit. Unigram tokens degenerate on
     * vocabulary-saturated corpora (every doc contains every common
     * word, so all signatures collide); word shingles keep diversity.
+    *
+    * Built with zip_with over three shifted slices rather than
+    * `transform(sequence(...), i => element_at(tokens, i+...))`:
+    * higher-order functions evaluate interpreted, so a COMPUTED
+    * subtree referenced inside a lambda is re-evaluated per element —
+    * the element_at form re-ran `split` three times per window,
+    * O(tokens²) chars per row. zip_with evaluates each slice once.
     */
   def tokenShingles(text: Column): Column = {
-    val tokens = split(text, " ")
-    array_distinct(when(size(tokens) >= 3,
-      transform(sequence(lit(0), size(tokens) - 3), i =>
-        concat_ws(" ", element_at(tokens, i + 1), element_at(tokens, i + 2),
-          element_at(tokens, i + 3))))
-      .otherwise(array(concat_ws(" ", tokens))))
+    val toks = split(text, " ")
+    val w = size(toks) - 2 // window count when >= 3 tokens
+    val shingled = zip_with(
+      slice(toks, lit(1), w),
+      zip_with(slice(toks, lit(2), w), slice(toks, lit(3), w),
+        (b, c) => concat(b, lit(" "), c)),
+      (a, bc) => concat(a, lit(" "), bc))
+    array_distinct(when(size(toks) >= 3, shingled)
+      .otherwise(array(concat_ws(" ", toks))))
   }
 
   /** Engine-neutral 64-bit hash (md5-derived): Spark and DuckDB compute
@@ -45,18 +55,62 @@ object DedupOps {
   def md5Hash64(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Driver-side twin of [[md5Hash64]] (identical value for the same
+    * input string) — used to precompute per-seed mixing constants once
+    * at plan-build time instead of per row.
+    */
+  def md5Hash64Scala(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      d.map("%02x".format(_)).mkString.take(15), 16)
+  }
+
+  /** Per-seed mixer over an already-computed 60-bit shingle hash:
+    * right-rotate within the 60-bit space by `seed` bits, then XOR a
+    * per-seed md5-derived constant. A bijection on [0, 2^60) per seed —
+    * a valid (cheap) MinHash family — expressible identically in DuckDB
+    * (`>> << & | xor`), so the whole lattice stays oracle-checkable
+    * WITHOUT hashing each shingle once per seed (round-2 q24 burned 32
+    * md5-of-string evals per shingle here; now it is 1 md5 + arithmetic).
+    */
+  private def rotXorMix(h: Column, seed: Column, seedConst: Column): Column = {
+    val rot = call_function("shiftright", h, seed)
+      .bitwiseOR(call_function("shiftleft",
+        h.bitwiseAND(call_function("shiftleft", lit(1L), seed) - 1),
+        lit(60) - seed))
+    rot.bitwiseXOR(seedConst)
+  }
+
   /** MinHash signature as an array<long> of k per-seed minima over
     * 3-token shingles — computed per-row with HOFs (zero shuffle).
-    * `neutral = true` swaps xxhash64 for the md5-derived hash so the
-    * signature (and every LSH decision downstream) is reproducible in
-    * DuckDB; xxhash64 stays the default (faster) engine hash.
+    * Each shingle is hashed ONCE; the k per-seed values derive from
+    * that hash by cheap mixing (`neutral`: rotate+xor with md5-derived
+    * constants, DuckDB-reproducible; default: xxhash64 over the 8-byte
+    * hash — fixed-width re-hash instead of k string hashes).
+    * Requires k <= 60 (rotation distance must stay inside the 60-bit
+    * neutral hash space).
+    *
+    * Shaped as ONE `aggregate` over the hash array folding an
+    * array-of-k minima accumulator — NOT `transform(seq(k), seed =>
+    * array_min(...))`: HOFs are interpreted, so the per-seed form
+    * re-evaluated the entire shingle+hash subtree k times per row
+    * (round 2's q24 spent 19% of the whole bench there). Here the
+    * shingle/hash pipeline runs once per row; the fold body is pure
+    * arithmetic on lambda variables and literals.
     */
   def minhashSignature(text: Column, k: Int, neutral: Boolean = false): Column = {
-    val shingles = tokenShingles(text)
-    transform(sequence(lit(0), lit(k - 1)), seed =>
-      array_min(transform(shingles, t =>
-        if (neutral) md5Hash64(concat(seed.cast("string"), lit(":"), t))
-        else xxhash64(t, seed))))
+    require(k <= 60, s"minhash k=$k exceeds the 60-bit mixing space")
+    val hashes = transform(tokenShingles(text), t =>
+      if (neutral) md5Hash64(t) else xxhash64(t))
+    val seedConsts = typedlit((0 until k).map(s => md5Hash64Scala(s"seed:$s")))
+    aggregate(
+      hashes,
+      array_repeat(lit(Long.MaxValue), k),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(k - 1)), (a, seed) =>
+        least(a,
+          if (neutral) rotXorMix(h, seed, element_at(seedConsts, seed + 1))
+          else xxhash64(h, seed))))
   }
 
   /** LSH band buckets: the k-long signature split into `bands` groups
@@ -121,15 +175,17 @@ object DedupOps {
     * DuckDB-reproducible; xxhash64 stays the engine default.
     */
   def simhash64(text: Column, neutral: Boolean = false): Column = {
-    val tokens = split(text, " ")
+    // hash per token ONCE (transform), then fold: a hash subtree
+    // referenced inside the per-bit zip_with lambda would re-evaluate
+    // 64x per token (interpreted HOFs)
+    val hashes = transform(split(text, " "), t =>
+      if (neutral) md5Hash64(t) else xxhash64(t))
     val votes = aggregate(
-      tokens,
+      hashes,
       array_repeat(lit(0), 64),
-      (acc, t) => {
-        val h = if (neutral) md5Hash64(t) else xxhash64(t)
+      (acc, h) =>
         zip_with(acc, sequence(lit(0), lit(63)), (a, i) =>
-          a + when(call_function("shiftright", h, i).bitwiseAND(1) === 1, 1).otherwise(-1))
-      })
+          a + when(call_function("shiftright", h, i).bitwiseAND(1) === 1, 1).otherwise(-1)))
     aggregate(
       zip_with(votes, sequence(lit(0), lit(63)), (v, i) =>
         when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),

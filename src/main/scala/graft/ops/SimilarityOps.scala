@@ -4,11 +4,12 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (array<float>):
-  * brute-force cosine top-k as the exact baseline, and an LSH
-  * (random-hyperplane signature) bucketing as the scale path — at
-  * 10^12 rows the brute-force scan is one pass (acceptable for a single
-  * query), but batch ANN needs the bucketed variant so candidates are
-  * joined by signature instead of crossed.
+  * brute-force cosine top-k as the exact baseline, an LSH
+  * (random-hyperplane signature) bucketing as the scale path, and a
+  * bucketed all-pairs near-dup operator — at 10^12 rows the
+  * brute-force scan is one pass (acceptable for a single query), but
+  * batch ANN / batch near-dup needs the bucketed variants so
+  * candidates are joined by signature instead of crossed.
   */
 object SimilarityOps {
 
@@ -25,22 +26,23 @@ object SimilarityOps {
   }
 
   /** Rank the k rows of an already-limited top-k result WITHOUT a
-    * global window: rank = 1 + count of strictly-better rows, via a
-    * broadcast self-join over the k-row result. A
+    * global window and WITHOUT a nested-loop join: pack the k rows
+    * into one sorted array (desc cos_sim, asc id — the cross-engine
+    * tie-break), posexplode, rank = position + 1. A
     * `row_number().over(Window.orderBy(...))` with no partition moves
     * the ENTIRE scored input to one partition (the round-1
-    * scale-killer); here the full input is reduced by a distributed
-    * TakeOrderedAndProject first and only k rows ever meet the join.
+    * scale-killer); the round-2 broadcast self-join was scale-safe but
+    * left a BroadcastNestedLoopJoin in every top-k plan — this
+    * packs only the k already-reduced rows, no join at all.
     */
-  private def withRank(top: DataFrame, idCol: String): DataFrame = {
-    val better = top.select(col(idCol).as("_bid"), col("cos_sim").as("_bsim"))
-    top.join(broadcast(better),
-        col("_bsim") > col("cos_sim") ||
-          (col("_bsim") === col("cos_sim") && col("_bid") < col(idCol)),
-        "left")
-      .groupBy(col(idCol), col("cos_sim"))
-      .agg((count(col("_bid")) + 1).cast("int").as("rank"))
-  }
+  private def withRank(top: DataFrame, idCol: String): DataFrame =
+    top
+      .agg(array_sort(collect_list(struct(
+        (-col("cos_sim")).as("neg_sim"), col(idCol).as("id"),
+        col("cos_sim").as("cs")))).as("arr"))
+      .select(posexplode(col("arr")).as(Seq("pos", "row")))
+      .select(col("row.id").as(idCol), col("row.cs").as("cos_sim"),
+        (col("pos") + 1).cast("int").as("rank"))
 
   /** Exact top-k by cosine against one query vector (broadcast as a
     * literal-free 1-row cross join — Spark broadcasts the tiny side).
@@ -59,39 +61,61 @@ object SimilarityOps {
       .select(col(idCol),
         round(cosine(col(vecCol), col("query_vec")), 6).as("cos_sim"))
     val top = scored.orderBy(col("cos_sim").desc, col(idCol).asc).limit(k)
-    withRank(top, idCol).select(col(idCol), col("cos_sim"), col("rank"))
+    withRank(top, idCol)
   }
 
-  /** Random-hyperplane LSH signature: bit i = sign of dot(v, h_i) where
-    * hyperplane components are deterministic pseudo-random ±values from
-    * xxhash64(i, dim). Per-row HOFs; bucket join replaces all-pairs.
-    * `neutral = true` derives components from the md5-based hash
-    * (DedupOps.md5Hash64, 60 bits recentred to [-1, 1)) so the bucket
-    * assignment is DuckDB-reproducible; xxhash64 stays the default.
+  /** Hyperplane component matrix, precomputed ONCE at plan-build time —
+    * the component for (bit i, dim j) is data-independent, so
+    * recomputing it per row (as round 2 did, one md5 + base conversion
+    * per (bit × dim × row)) is pure waste; q26 regressed 0.8→3.0 s on
+    * it. `neutral` uses the md5-derived formula the DuckDB oracle
+    * reproduces (bit-identical: long→double conversion, subtract,
+    * divide are the same IEEE ops driver-side as in Catalyst);
+    * the default uses splitmix64 (public-domain mixer, Steele et al.
+    * 2014) — deterministic across JVMs, no cross-engine requirement.
     */
-  def hyperplaneSignature(vec: Column, bits: Int, neutral: Boolean = false): Column = {
-    val dims = sequence(lit(0), size(vec) - 1)
+  def hyperplaneMatrix(
+      bits: Int, dims: Int, neutral: Boolean): Seq[Seq[Double]] = {
     val half = math.pow(2, 59)
+    def splitmix64(v: Long): Long = {
+      var x = v + 0x9E3779B97F4A7C15L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
+    (0 until bits).map(i => (0 until dims).map { j =>
+      if (neutral) (DedupOps.md5Hash64Scala(s"$i:$j") - half) / half
+      else splitmix64(i.toLong * dims + j).toDouble / Long.MaxValue.toDouble
+    })
+  }
+
+  /** Random-hyperplane LSH signature: bit i = sign of dot(v, h_i). The
+    * bits×dims hyperplane matrix rides the plan as a literal nested
+    * array; the per-row cost is pure HOF arithmetic (no hashing).
+    * `dims` must match the embedding length (extra dims are ignored by
+    * zip_with; missing dims null out the dot product → bit 0).
+    */
+  def hyperplaneSignature(
+      vec: Column, bits: Int, dims: Int,
+      neutral: Boolean = false): Column = {
+    val mat = typedlit(hyperplaneMatrix(bits, dims, neutral))
     aggregate(
-      zip_with(
-        sequence(lit(0), lit(bits - 1)),
-        array_repeat(lit(0L), bits), // placeholder to thread the index
-        (i, _) => {
-          val d = aggregate(
-            zip_with(vec, dims, (x, j) => {
-              // deterministic hyperplane component in [-1, 1)
-              val comp =
-                if (neutral)
-                  (DedupOps.md5Hash64(concat(i.cast("string"), lit(":"),
-                    j.cast("string"))).cast("double") - lit(half)) / lit(half)
-                else xxhash64(i, j).cast("double") / lit(Long.MaxValue.toDouble)
-              x.cast("double") * comp
-            }),
-            lit(0.0), (acc, x) => acc + x)
-          when(d > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))
-        }),
+      zip_with(sequence(lit(0), lit(bits - 1)), mat, (i, row) => {
+        val d = aggregate(
+          zip_with(vec, row, (x, c) => x.cast("double") * c),
+          lit(0.0), (acc, x) => acc + x)
+        when(d > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))
+      }),
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
+
+  /** The probe set for a signature: itself plus all 1-bit flips
+    * (hamming-1 multi-probe — standard LSH recall booster).
+    */
+  private def probesOf(sig: Column, bits: Int): Column =
+    concat(array(sig),
+      transform(sequence(lit(0), lit(bits - 1)),
+        i => sig.bitwiseXOR(call_function("shiftleft", lit(1L), i))))
 
   /** Bucketed ANN top-k: candidates share the query's LSH bucket (or a
     * 1-bit neighbour), then exact cosine re-ranks. The scale path: the
@@ -99,18 +123,14 @@ object SimilarityOps {
     */
   def lshTopK(
       embeddings: DataFrame, idCol: String, vecCol: String,
-      queryId: Long, k: Int, bits: Int = 12,
+      queryId: Long, k: Int, bits: Int = 12, dims: Int = 64,
       neutral: Boolean = false): DataFrame = {
     val withSig = embeddings.select(col(idCol), col(vecCol),
-      hyperplaneSignature(col(vecCol), bits, neutral).as("sig"))
+      hyperplaneSignature(col(vecCol), bits, dims, neutral).as("sig"))
     val query = withSig.filter(col(idCol) === queryId)
       .select(col(vecCol).as("query_vec"), col("sig").as("query_sig"))
-    // probe buckets: exact signature plus all 1-bit flips
     val probes = query.select(col("query_vec"),
-      explode(concat(array(col("query_sig")),
-        transform(sequence(lit(0), lit(bits - 1)),
-          i => col("query_sig").bitwiseXOR(call_function("shiftleft", lit(1L), i)))))
-        .as("probe_sig"))
+      explode(probesOf(col("query_sig"), bits)).as("probe_sig"))
     val candidates = withSig.join(broadcast(probes),
       col("sig") === col("probe_sig"))
     val top = candidates
@@ -118,6 +138,39 @@ object SimilarityOps {
         round(cosine(col(vecCol), col("query_vec")), 6).as("cos_sim"))
       .distinct()
       .orderBy(col("cos_sim").desc, col(idCol).asc).limit(k)
-    withRank(top, idCol).select(col(idCol), col("cos_sim"), col("rank"))
+    withRank(top, idCol)
+  }
+
+  /** Batch embedding near-dup pairs, LSH-bucketed — the scale shape
+    * for corpus-wide near-dup removal. Candidate pairs collide on the
+    * hyperplane bucket (exact or 1-bit-flip probe: hamming ≤ 1), then
+    * exact cosine verifies ≥ `threshold`. Shuffle discipline mirrors
+    * [[DedupOps.minhashLshPairs]]: only (id, signature) rides the
+    * candidate join; vectors are re-joined once, per DISTINCT pair,
+    * for verification. Never all-pairs — the round-2 q27
+    * BroadcastNestedLoopJoin baseline is retired (O(n²) cosine at
+    * 100×); recall is governed by (bits, probe radius), identically in
+    * the DuckDB oracle.
+    */
+  def embeddingNearDupPairs(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      bits: Int = 8, dims: Int = 64, threshold: Double = 0.9,
+      neutral: Boolean = false): DataFrame = {
+    val sigs = embeddings.select(col(idCol).as("id"),
+      hyperplaneSignature(col(vecCol), bits, dims, neutral).as("sig"))
+    val a = sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = sigs.select(col("id").as("id_b"),
+      explode(probesOf(col("sig"), bits)).as("probe_b"))
+    val pairs = a
+      .join(b, col("sig_a") === col("probe_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    pairs
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("vec_a"), col("vec_b")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
   }
 }

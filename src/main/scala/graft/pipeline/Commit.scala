@@ -62,6 +62,13 @@ object Commit {
     * storage co-partitioning design the media join relies on at scale.
     * One blob referenced from two chunks is duplicated across their
     * partitions (storage for read-locality, same trade Iceberg makes).
+    *
+    * Staging is only reused behind an atomic completion sentinel
+    * (tmp + rename, like the manifests) recording snapshotId(docs):
+    * a run killed MID-staging leaves a partial _staged dir, and a
+    * resume that trusted bare directory existence would silently
+    * extract from incomplete docs/media; a reused outDir with a
+    * CHANGED input would silently extract stale data. Both restage.
     */
   def stageByChunk(
       spark: SparkSession,
@@ -70,8 +77,15 @@ object Commit {
       outDir: String,
       chunks: Int): (DataFrame, DataFrame) = {
     val stagedRoot = Paths.get(outDir, s"_staged", s"chunks=$chunks")
+    val sentinel = stagedRoot.resolve("_staged_complete")
+    val snap = snapshotId(docs)
     val chunkOf = pmod(xxhash64(col("doc_id")), lit(chunks))
-    if (!Files.isDirectory(stagedRoot)) {
+    val reusable = Files.exists(sentinel) &&
+      Files.readString(sentinel).trim == snap
+    if (!reusable) {
+      if (Files.isDirectory(stagedRoot))
+        Files.walk(stagedRoot).iterator().asScala.toSeq.reverse
+          .foreach(Files.delete)
       docs.withColumn("chunk", chunkOf)
         .write.mode("overwrite").partitionBy("chunk")
         .parquet(s"$stagedRoot/docs")
@@ -83,6 +97,10 @@ object Commit {
       media.join(refChunks, Seq("media_ref"), "inner")
         .write.mode("overwrite").partitionBy("chunk")
         .parquet(s"$stagedRoot/media")
+      val tmp = stagedRoot.resolve("._staged_complete.tmp")
+      Files.writeString(tmp, snap)
+      Files.move(tmp, sentinel,
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     }
     // explicit schemas: an empty staged table (no media in the corpus)
     // reads back as an empty frame instead of failing schema inference

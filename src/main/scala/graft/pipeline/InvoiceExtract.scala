@@ -85,10 +85,14 @@ object InvoiceExtract {
           .otherwise(concat(col("doc_id"), lit(":"), col("s.offset")))
           .as("filename"),
         col("s.text").as("text"),
+        // distinct refs: a doc referencing the same media_ref from two
+        // spans must not double-count its pages
         when(regexp_extract(col("s.media_ref"), pageBase, 1) === "", lit(1))
-          .otherwise(size(filter(col("spans"), x =>
-            regexp_extract(x.getField("media_ref"), pageBase, 1) ===
-              regexp_extract(col("s.media_ref"), pageBase, 1))))
+          .otherwise(size(array_distinct(transform(
+            filter(col("spans"), x =>
+              regexp_extract(x.getField("media_ref"), pageBase, 1) ===
+                regexp_extract(col("s.media_ref"), pageBase, 1)),
+            x => x.getField("media_ref")))))
           .as("pages"))
       .as[(String, String, Int)]
       // AQE coalesces the upstream groupBy output to a handful of
@@ -134,8 +138,11 @@ object InvoiceExtract {
         val docaiTables = tables.map(_.filterNot(row =>
           row.headOption.exists(c => c.endsWith(":") &&
             FieldExtract.DocAiEntityTypes(c.dropRight(1)))))
+        // pages is pinned to 1 inside extractFromEntities (the
+        // reference's _extract_from_docai hardcodes it; numPages only
+        // feeds the GCV/regex path)
         Some(FieldExtract.extractFromEntities(
-          entities, docaiTables, filename, numPages, asOf))
+          entities, docaiTables, filename, asOf))
           .filter(FieldExtract.isInvoiceValid)
       }
     viaEntities.map(toRow).getOrElse(

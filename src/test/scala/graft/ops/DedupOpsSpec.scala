@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** Planted-dup recall for the ENGINE-DEFAULT (xxhash64 / splitmix)
+  * dedup + ANN paths. The driver oracle only exercises the
+  * `neutral = true` twins (md5-derived hashes, DuckDB-reproducible);
+  * these tests pin the production-path behaviour the oracle cannot
+  * see: near-duplicates planted in a synthetic corpus must be
+  * recalled by MinHash+LSH banding, separate cleanly under SimHash
+  * hamming distance, and surface in LSH-ANN top-k.
+  */
+class DedupOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // deterministic corpus: 40 docs x 60 tokens from a 1000-word vocab;
+  // docs 0-4 get a planted near-dup (id + 1000) with the last TWO
+  // tokens replaced — shingle Jaccard ~0.93, char-3-gram ~0.95
+  private val rng = new scala.util.Random(42)
+  private val baseDocs: Seq[(Long, String)] = (0 until 40).map { i =>
+    (i.toLong, Seq.fill(60)(s"w${rng.nextInt(1000)}").mkString(" "))
+  }
+  private val nearDups: Seq[(Long, String)] = baseDocs.take(5).map {
+    case (id, text) =>
+      val toks = text.split(" ")
+      (id + 1000L,
+        (toks.dropRight(2) ++ Seq(s"x${id}a", s"x${id}b")).mkString(" "))
+  }
+  private lazy val corpus =
+    (baseDocs ++ nearDups).toDF("doc_id", "text")
+
+  test("minhashLshPairs (default xxhash64 path) recalls exactly the planted near-dups") {
+    val pairs = DedupOps
+      .minhashLshPairs(corpus, "doc_id", "text",
+        k = 32, bands = 8, thresholdX1M = 800000L)
+      .select("id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    val planted = (0 until 5).map(i => (i.toLong, i + 1000L)).toSet
+    assert(pairs == planted,
+      s"expected exactly the planted pairs $planted, got $pairs")
+  }
+
+  test("simhash64 (default path) separates near-dups from unrelated docs by hamming") {
+    val sigs = corpus
+      .select(col("doc_id"), DedupOps.simhash64(col("text")).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long): Int =
+      java.lang.Long.bitCount(sigs(a) ^ sigs(b))
+    (0 until 5).foreach { i =>
+      assert(ham(i, i + 1000L) <= 16,
+        s"planted pair $i hamming ${ham(i, i + 1000L)} too high")
+    }
+    // unrelated docs sit near the 32-bit expectation for 64-bit sigs
+    val unrelated = for (a <- 0 until 5; b <- 10 until 15)
+      yield ham(a.toLong, b.toLong)
+    assert(unrelated.min >= 18,
+      s"unrelated pairs too close: min hamming ${unrelated.min}")
+  }
+
+  test("lshTopK (default splitmix hyperplanes) surfaces a planted near-identical vector") {
+    val vrng = new scala.util.Random(7)
+    def randVec(): Array[Float] =
+      Array.fill(16)((vrng.nextDouble() * 2 - 1).toFloat)
+    val base = (0 until 60).map(i => (i.toLong, randVec()))
+    val v0 = base.head._2.clone()
+    v0(0) = v0(0) + 1e-4f // near-identical to vector 0
+    val emb = (base :+ (999L, v0)).toDF("vec_id", "embedding")
+    val top = SimilarityOps
+      .lshTopK(emb, "vec_id", "embedding", queryId = 0L, k = 3,
+        bits = 8, dims = 16)
+      .select("vec_id", "cos_sim", "rank")
+      .as[(Long, Double, Int)].collect().sortBy(_._3)
+    assert(top.head._1 == 0L && top.head._2 == 1.0, top.mkString(", "))
+    val planted = top.find(_._1 == 999L)
+    assert(planted.isDefined, s"planted 999 not in top-k: ${top.mkString(", ")}")
+    assert(planted.get._2 >= 0.9999, planted.get.toString)
+  }
+}

@@ -76,6 +76,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(again.committed.isEmpty && again.skipped.size == 4)
   }
 
+  test("partial or stale staging is rebuilt, never trusted (completion sentinel)") {
+    val outDir = Files.createTempDirectory("graft_stage").toString
+    val stagedRoot = java.nio.file.Paths.get(outDir, "_staged", "chunks=4")
+    // a run killed MID-staging: docs staged, media missing, no sentinel
+    docs.withColumn("chunk", pmod(xxhash64(col("doc_id")), lit(4)))
+      .write.mode("overwrite").partitionBy("chunk")
+      .parquet(s"$stagedRoot/docs")
+    assert(!Files.exists(stagedRoot.resolve("_staged_complete")))
+    val (sd, sm) = Commit.stageByChunk(spark, docs, media, outDir, chunks = 4)
+    // restaged from scratch: sentinel present, media complete
+    assert(Files.exists(stagedRoot.resolve("_staged_complete")))
+    assert(sd.count() == docs.count())
+    assert(sm.count() > 0)
+    // a CHANGED input under the same outDir also restages (snapshot
+    // recorded in the sentinel mismatches)
+    val otherDir = Files.createTempDirectory("graft_stage_in2").toString
+    CorpusGen.write(spark, otherDir,
+      CorpusGen.Params(nDocs = 40, kinds = Seq("text")))
+    val docs2 = spark.read.parquet(s"$otherDir/docs")
+    val media2 = spark.read.parquet(s"$otherDir/media")
+    val (sd2, _) = Commit.stageByChunk(spark, docs2, media2, outDir, chunks = 4)
+    assert(sd2.count() == docs2.count(),
+      "stale staging from the previous input was silently reused")
+    // unchanged input + sentinel → reuse (no restage: mtime stable)
+    val sentinel = stagedRoot.resolve("_staged_complete")
+    val before = Files.getLastModifiedTime(sentinel)
+    Commit.stageByChunk(spark, docs2, media2, outDir, chunks = 4)
+    assert(Files.getLastModifiedTime(sentinel) == before)
+  }
+
   test("maintenance: vacuum removes orphans, compact snapshots the manifest") {
     val outDir = Files.createTempDirectory("graft_maint").toString
     Commit.run(spark, docs, media, outDir, "run-m", chunks = 2, partitions = 8)

@@ -70,6 +70,33 @@ class PlanSpec extends AnyFunSuite {
     assert(!lsh.contains("Window"), lsh.take(3000))
   }
 
+  test("no registered query plan contains a nested-loop or cartesian join") {
+    // every all-pairs shape is a 100-TB scale-killer; candidate
+    // generation must be bucketed (band join / signature probes) and
+    // top-k ranking join-free (round-2 q27 was the last offender).
+    // Sole sanctioned exception: q23's attach of THE single query
+    // vector (a 1-row broadcast with no condition is a map-side
+    // operation, not an all-pairs join) — asserted tight: exactly one
+    // BNLJ, whose build side is the vec_id-filtered 1-row scan.
+    val sf = "/root/testdata/sf0.001"
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val p = plan(fn(spark, sf))
+      assert(!p.contains("CartesianProduct"),
+        s"$name plan contains a cartesian product:\n" + p.take(3000))
+      // formatted plans list each node twice (tree + detail header);
+      // count the "(n) BroadcastNestedLoopJoin" detail headers
+      val bnlj = "\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(p).length
+      if (name == "q23_cosine_topk") {
+        assert(bnlj == 1 && p.contains("isnotnull(vec_id"),
+          s"$name: expected exactly the 1-row query-vector broadcast:\n" +
+            p.take(3000))
+      } else {
+        assert(bnlj == 0,
+          s"$name plan contains an all-pairs join:\n" + p.take(3000))
+      }
+    }
+  }
+
   test("resume anti-join prunes committed chunks at the scan") {
     val docs = spark.read.parquet(s"$dir/docs")
     val chunkFilter = docs.filter(

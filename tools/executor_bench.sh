@@ -48,18 +48,24 @@ import json, sys, glob, statistics
 out, trials = sys.argv[1], int(sys.argv[2])
 def load(f):
     return json.loads(open(f).read().strip().splitlines()[-1])
+# Per-PASS aggregation: the 4 JVMs run their measured passes
+# concurrently, so pass p's aggregate wall = max over JVMs of THEIR
+# pass p. Taking each JVM's best-of-all-passes (different time
+# windows) can exceed any throughput actually sustained concurrently.
 singles, aggs = [], []
 for t in range(1, trials + 1):
     s = load(f"{out}/single_{t}.json")
-    singles.append(s['docs_per_sec'])
+    s_secs = s.get('extract_secs', [s['extract_sec']])
+    singles += [s['bench_docs'] / sec for sec in s_secs]
     execs = [load(f"{out}/e{i}_{t}.json") for i in range(4)]
     total_docs = sum(e['bench_docs'] for e in execs)
-    wall = max(e['extract_sec'] for e in execs)
-    aggs.append(total_docs / wall)
-    print(f"trial {t}: single {s['docs_per_sec']:.1f} docs/s "
-          f"({s['extract_sec']:.1f}s/{s['bench_docs']}); "
-          f"4-exec {total_docs/wall:.1f} docs/s agg "
-          f"(walls {[round(e['extract_sec'],1) for e in execs]})")
+    e_secs = [e.get('extract_secs', [e['extract_sec']]) for e in execs]
+    npass = min(len(x) for x in e_secs)
+    trial_aggs = [total_docs / max(x[p] for x in e_secs) for p in range(npass)]
+    aggs += trial_aggs
+    print(f"trial {t}: single passes {[round(x,1) for x in s_secs]}s; "
+          f"4-exec per-pass agg {[round(a,1) for a in trial_aggs]} docs/s "
+          f"(per-JVM passes {[[round(v,1) for v in x] for x in e_secs]})")
 for name, f in [("best", max), ("median", statistics.median)]:
     t1, t4 = f(singles), f(aggs)
     print(f"{name}: single {t1:.1f} -> 4-exec {t4:.1f} docs/s, "
