@@ -430,8 +430,14 @@ object CorpusGen {
     try {
       fixtures.map(_.doc).toDF()
         .write.mode("overwrite").parquet(s"$dir/docs")
+      // 4 MB row groups on the payload table: the kernel runs at scan
+      // granularity (no payload shuffle), so the row group is the unit
+      // of kernel scheduling — 128 MB stock row groups would leave
+      // maxPartitionBytes splits mostly empty and parallelism at
+      // file granularity
       fixtures.flatMap(_.media).toDF()
-        .write.mode("overwrite").parquet(s"$dir/media")
+        .write.mode("overwrite").option("parquet.block.size", s"${4 << 20}")
+        .parquet(s"$dir/media")
       fixtures.map(_.golden).toDF()
         .write.mode("overwrite").parquet(s"$dir/golden_spans")
       fixtures.flatMap(_.invoices).map(g =>

@@ -94,8 +94,11 @@ object Commit {
           explode(col("spans.media_ref")).as("media_ref"))
         .filter(col("media_ref") =!= "")
         .distinct()
+      // 4 MB row groups: scan-split = kernel-scheduling unit (see
+      // CorpusGen.write / ExtractionPipeline session factory)
       media.join(refChunks, Seq("media_ref"), "inner")
         .write.mode("overwrite").partitionBy("chunk")
+        .option("parquet.block.size", s"${4 << 20}")
         .parquet(s"$stagedRoot/media")
       val tmp = stagedRoot.resolve("._staged_complete.tmp")
       Files.writeString(tmp, snap)

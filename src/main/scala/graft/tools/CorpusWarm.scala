@@ -31,6 +31,8 @@ object CorpusWarm {
           .withColumn("chunk", pmod(xxhash64(
             element_at(split(col("media_ref"), "/"), 2)), lit(n)))
           .write.mode("overwrite").partitionBy("chunk")
+          // 4 MB row groups: scan-split = kernel-scheduling unit
+          .option("parquet.block.size", s"${4 << 20}")
           .parquet(s"$staged/media")
         java.nio.file.Files.writeString(
           staged.resolve("_staged_complete"), s"chunks=$n\n")

@@ -46,10 +46,31 @@ class PlanSpec extends AnyFunSuite {
     val media = spark.read.parquet(s"$dir/media")
     val p = plan(ExtractionPipeline.extract(docs, media, 8))
     // the tiny task side must broadcast; payload bytes must not flow
-    // through a join-side exchange (the only byte shuffle is the
-    // explicit salted repartition)
+    // through a join-side exchange
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
       p.take(3000))
+  }
+
+  test("payload bytes never cross a shuffle (no Exchange carries a bytes column)") {
+    // Round-3 invariant: the kernel runs on media rows in their scan
+    // partitions; the only shuffles in the extract job move text (the
+    // inline salt and the reassembly groupBy). A bytes column inside
+    // any Exchange's input is a regression to payload shuffling — the
+    // measured scale-out bottleneck on shared DRAM (BENCH/BASELINE.md).
+    val docs = spark.read.parquet(s"$dir/docs")
+    val media = spark.read.parquet(s"$dir/media")
+    val p = plan(ExtractionPipeline.extract(docs, media, 8))
+    // formatted explain prints one detail block per node:
+    //   (n) Exchange\nInput [k]: [col#1, ...]
+    val blocks = p.split("\\(\\d+\\) ").toSeq
+    val exchanges = blocks.filter(b =>
+      b.startsWith("Exchange") || b.startsWith("BroadcastExchange"))
+    assert(exchanges.nonEmpty, "expected at least the salt/reassembly exchanges")
+    exchanges.foreach { b =>
+      val input = b.linesIterator.find(_.startsWith("Input")).getOrElse("")
+      assert(!input.contains("bytes#"),
+        s"an Exchange carries payload bytes:\n$b\n--- full plan ---\n${p.take(4000)}")
+    }
   }
 
   test("AQE is active in the engine session") {

@@ -9,10 +9,22 @@ SCALA_LIB=$(ls /opt/spark/jars/scala-library*.jar 2>/dev/null | head -1)
 OPENS="--add-opens=java.base/java.lang=ALL-UNNAMED --add-opens=java.base/java.lang.invoke=ALL-UNNAMED --add-opens=java.base/java.lang.reflect=ALL-UNNAMED --add-opens=java.base/java.io=ALL-UNNAMED --add-opens=java.base/java.net=ALL-UNNAMED --add-opens=java.base/java.nio=ALL-UNNAMED --add-opens=java.base/java.util=ALL-UNNAMED --add-opens=java.base/java.util.concurrent=ALL-UNNAMED --add-opens=java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens=java.base/sun.nio.ch=ALL-UNNAMED --add-opens=java.base/sun.nio.cs=ALL-UNNAMED --add-opens=java.base/sun.security.action=ALL-UNNAMED --add-opens=java.base/sun.util.calendar=ALL-UNNAMED"
 # fixed pre-touched heap: lazy heap commit caused cross-JVM page-fault
 # storms (35-48% system time, half the cores idle — measured round 2);
-# pretouch moved 4-exec walls from 68-84s to 52-55s on the 36k corpus
-JAVA_ARGS="$OPENS -Xms12g -Xmx12g -XX:+AlwaysPreTouch -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC"
+# pretouch moved 4-exec walls from 68-84s to 52-55s on the 36k corpus.
+# 4g (round 3, was 12g): vmstat during 4-exec launch showed 97-99%
+# SYSTEM time for 200+s — 4x12g concurrent pretouch faults 48 GB of
+# fresh anon memory through the hypervisor at EVERY JVM launch,
+# bleeding past warmup into measured passes (the trial-level 3x
+# outliers). 4 GB still holds the working set (each executor processes
+# a ~370 MB staged quarter) and cuts the pretouch storm to ~25 s,
+# fully absorbed by the warm-up pass. Same per-executor heap in both
+# configurations.
+JAVA_ARGS="$OPENS -Xms4g -Xmx4g -XX:+AlwaysPreTouch -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC"
 export SPARK_GRAFT_SKIP_QUERIES=1 SPARK_GRAFT_SKIP_INVOICE=1
-export SPARK_GRAFT_BENCH_DOCS=${DOCS:-9000} SPARK_GRAFT_CPUS=8
+# 36k docs: the evidence corpus. Smaller corpora leave 4-exec measured
+# passes at 12-20s where fixed per-pass cost (job scheduling, stage
+# setup) dominates and efficiency reads artificially low (W >> f fit,
+# BENCH/BASELINE.md)
+export SPARK_GRAFT_BENCH_DOCS=${DOCS:-36000} SPARK_GRAFT_CPUS=8
 # best/median-of-3 measured passes per JVM (VM noise spreads single
 # multi-minute shots up to 2x; see BENCH/BASELINE.md variance section)
 export SPARK_GRAFT_MEASURE_RUNS=${MEASURE_RUNS:-3}
