@@ -95,9 +95,14 @@ object InvoiceExtract {
             x => x.getField("media_ref")))))
           .as("pages"))
       .as[(String, String, Int)]
-      // AQE coalesces the upstream groupBy output to a handful of
-      // partitions (small bytes) — but the date cascade is CPU-heavy,
-      // so spread the kernel map across all cores explicitly
+      // Round-robin spread before the CPU-heavy typed map (date
+      // cascade): AQE sizes the upstream reassembly shuffle by BYTES
+      // (parallelism-first floor = defaultParallelism), but per-row
+      // date-cascade cost varies a lot, so 1-task-per-core schedules
+      // straggle. Measured round 3 at local[32], 3k-doc corpus:
+      // removing this exchange = 7.6 s -> 9.4 s invoice chain (+24%).
+      // The shuffle moves only (filename, text, pages). PlanSpec
+      // asserts the chain has exactly this one round-robin exchange.
       .repartition(spark.sparkContext.defaultParallelism * 4)
     texts.mapPartitions(_.map { case (filename, text, pages) =>
       withEntityFallback(FieldExtract.entitiesFromText(text),

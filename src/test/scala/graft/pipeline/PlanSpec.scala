@@ -73,6 +73,20 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("invoice chain: exactly one round-robin exchange after reassembly") {
+    // The typed date-cascade map is CPU-bound with high per-row
+    // variance; one deliberate round-robin spread earns its shuffle
+    // (measured: removing it costs +24% at local[32]). More than one
+    // would mean an accidental extra shuffle crept into the chain.
+    val docs = spark.read.parquet(s"$dir/docs")
+    val media = spark.read.parquet(s"$dir/media")
+    val p = plan(InvoiceExtract.fromSpans(
+      ExtractionPipeline.extract(docs, media, 8)).toDF())
+    val rr = "roundrobinpartitioning".r.findAllIn(p.toLowerCase).length
+    // formatted plans mention each node twice (tree header + detail)
+    assert(rr > 0 && rr <= 2, s"expected exactly one round-robin exchange, plan:\n${p.take(4000)}")
+  }
+
   test("AQE is active in the engine session") {
     assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
     val p = plan(spark.read.parquet(s"$dir/docs").groupBy("doc_id").count())
