@@ -101,7 +101,15 @@ object ExtractionPipeline {
     val mediaTasks = tasks
       .filter(col("media_ref") =!= lit(""))
       .select(col("doc_id"), col("offset"), col("kind"), col("media_ref"))
-    val withMedia = mediaTasks
+    // Explicit broadcast of the metadata side: if this were left to the
+    // AQE size estimate, a corpus just past the 10 MB threshold would
+    // silently flip to a sort-merge join and shuffle every payload
+    // byte — the exact regression PlanSpec forbids. At 10^12 docs the
+    // metadata side outgrows any broadcast; the deployment answer is
+    // the storage-co-partitioned layout (media bucketed by
+    // hash(doc_id), Commit.stageByChunk) where this join becomes a
+    // co-located zip — never a payload shuffle.
+    val withMedia = broadcast(mediaTasks)
       .join(mediaClean, Seq("media_ref"), "inner")
       .withColumn("text", lit(""))
     val mediaSubs = withMedia.select(taskCols.map(col): _*).as[SpanTask]
@@ -122,7 +130,8 @@ object ExtractionPipeline {
     // co-chunked docs+media pruning (tools/executor_bench.sh,
     // Bench.scala, Commit.stageByChunk).
     val rest = tasks
-      .join(mediaClean.select(col("media_ref")), Seq("media_ref"), "left_anti")
+      .join(broadcast(mediaClean.select(col("media_ref"))),
+        Seq("media_ref"), "left_anti")
     val salted = rest
       .repartition(partitions,
         pmod(xxhash64(col("doc_id"), col("offset")), lit(partitions)))

@@ -25,9 +25,15 @@ export SPARK_GRAFT_SKIP_QUERIES=1 SPARK_GRAFT_SKIP_INVOICE=1
 # setup) dominates and efficiency reads artificially low (W >> f fit,
 # BENCH/BASELINE.md)
 export SPARK_GRAFT_BENCH_DOCS=${DOCS:-36000} SPARK_GRAFT_CPUS=8
-# best/median-of-3 measured passes per JVM (VM noise spreads single
-# multi-minute shots up to 2x; see BENCH/BASELINE.md variance section)
-export SPARK_GRAFT_MEASURE_RUNS=${MEASURE_RUNS:-3}
+# 5 measured passes per JVM launch and 2 warm-up passes: this box's
+# host-steal bursts slow ALL JVMs uniformly for 30-60s windows, and a
+# burst landing on a measured pass drags the per-pass aggregate; with
+# 10 pooled passes per configuration the median survives a burst
+# window. The second warm-up keeps the concurrent JVM-launch pretouch
+# storm out of measured pass 1 (it outlasted one warm-up ~half the
+# sessions). All pass values are retained in the JSON.
+export SPARK_GRAFT_MEASURE_RUNS=${MEASURE_RUNS:-5}
+export SPARK_GRAFT_WARMUP_RUNS=${WARMUP_RUNS:-2}
 TRIALS=${TRIALS:-2}
 OUT=${OUT:-/tmp/execbench}
 mkdir -p $OUT
