@@ -143,6 +143,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(byId("w-missing-media").map(_.getString(0)) == Seq("error"))
   }
 
+  test("one media_ref shared by two docs (and twice within one doc) extracts for each reference") {
+    // CorpusGen always mints unique refs (m/<doc>/<i>), but arbitrary
+    // input may alias a blob across documents or reference it twice in
+    // one document. The media join must fan the payload out to every
+    // referencing span, and the per-doc page counting must not bleed
+    // across documents.
+    import spark.implicits._
+    val pdf = graft.kernel.PdfText.build(Seq(
+      graft.kernel.PdfText.TextPageSpec(Seq("shared page one")),
+      graft.kernel.PdfText.TextPageSpec(Seq("shared page two"))))
+    val docs = Seq(
+      graft.model.Doc("share-a", Seq(
+        graft.model.Span("text", "intro-a", "", 0),
+        graft.model.Span("pdf", "", "m/shared/0", 1))),
+      graft.model.Doc("share-b", Seq(
+        graft.model.Span("pdf", "", "m/shared/0", 0))),
+      graft.model.Doc("share-twice", Seq(
+        graft.model.Span("pdf", "", "m/shared/0", 0),
+        graft.model.Span("pdf", "", "m/shared/0", 1))))
+    val media = Seq(graft.model.MediaBlob("m/shared/0", pdf))
+    val out = ExtractionPipeline.extract(
+      spark.createDataset(docs).toDF(), spark.createDataset(media).toDF(),
+      partitions = 2)
+    val byId = out.collect().map(r => r.getString(0) ->
+      r.getSeq[org.apache.spark.sql.Row](1)).toMap
+    def texts(id: String) = byId(id).map(_.getString(1))
+    assert(texts("share-a") ==
+      Seq("intro-a", "shared page one", "shared page two"))
+    assert(texts("share-b") == Seq("shared page one", "shared page two"))
+    // doubly-referenced: both spans expand, order by original offset
+    assert(texts("share-twice") ==
+      Seq("shared page one", "shared page two",
+        "shared page one", "shared page two"))
+    // provenance refs carry the page suffix per reference
+    assert(byId("share-b").map(_.getString(2)) ==
+      Seq("m/shared/0#page1", "m/shared/0#page2"))
+  }
+
   test("poison media payload yields an error span, not a crashed job") {
     import spark.implicits._
     val badDocs = Seq(
