@@ -41,7 +41,14 @@ object Bench {
       case Some(spec) =>
         val Array(i, n) = spec.split("/").map(_.toInt)
         val staged = java.nio.file.Paths.get(benchDir, s"staged$n")
-        if (java.nio.file.Files.isDirectory(staged)) {
+        // trust the staged layout only behind its versioned sentinel
+        // (params + row-group layout) — bare directory existence could
+        // be a partial stage or an older layout (advisor, round 3)
+        val sentinel = staged.resolve("_staged_complete")
+        val expected = s"chunks=$n " + CorpusGen.markerContent(
+          CorpusGen.Params(nDocs = nDocs)) + "\n"
+        if (java.nio.file.Files.exists(sentinel) &&
+            java.nio.file.Files.readString(sentinel) == expected) {
           // storage co-partitioned layout (CorpusWarm STAGE_CHUNKS=n):
           // the executor reads ONLY its partition directories — true
           // Iceberg-style pruning, no scan-and-discard of other chunks
@@ -135,14 +142,18 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum + extractSec + invoiceSec
-    val docsPerSec = docCount / extractSec
-    val spansPerSec = spanCount / extractSec
+    // headline throughput is MEDIAN-based (round-3 verdict: best-of
+    // flatters on this bursty VM — the per-pass spread was 6×);
+    // best-pass throughput stays in the JSON as docs_per_sec_best
+    val docsPerSec = docCount / extractSecMedian
+    val docsPerSecBest = docCount / extractSec
+    val spansPerSec = spanCount / extractSecMedian
     // per-pass seconds: the executor harness aggregates 4-JVM passes by
     // PASS INDEX (same measured round across JVMs) — aggregating each
     // JVM's best-of-different-windows overstates concurrent throughput
     val secsArr = runSecs.map(s => f"$s%.3f").mkString("[", ",", "]")
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","docs_per_sec":$docsPerSec%.1f,"spans_per_sec":$spansPerSec%.1f,"extract_sec":$extractSec%.3f,"extract_sec_median":$extractSecMedian%.3f,"extract_secs":$secsArr,"measure_runs":$measureRuns,"invoice_sec":$invoiceSec%.3f,"bench_docs":$docCount,"invoices":$invoiceCount,"cpus":$cpus}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","docs_per_sec":$docsPerSec%.1f,"docs_per_sec_best":$docsPerSecBest%.1f,"spans_per_sec":$spansPerSec%.1f,"extract_sec":$extractSec%.3f,"extract_sec_median":$extractSecMedian%.3f,"extract_secs":$secsArr,"measure_runs":$measureRuns,"invoice_sec":$invoiceSec%.3f,"bench_docs":$docCount,"invoices":$invoiceCount,"cpus":$cpus}"""
     println(json)
     // belt-and-braces for log-prefix scrapers: the same line lands in a file
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach(p =>

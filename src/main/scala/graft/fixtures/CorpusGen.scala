@@ -409,15 +409,30 @@ object CorpusGen {
     * so workers generate independently) and cached across the three
     * output writes — glyph rendering dominates generation cost.
     */
-  /** Generate into `dir` unless a COMPLETE corpus is already there.
-    * Completion is marked by a sentinel file written after the last
-    * table — a run killed mid-write is regenerated, never reused.
+  /** Sentinel content for a complete corpus: parameters PLUS the
+    * layout version. The 4 MB payload row groups are load-bearing
+    * (scan-split = kernel-scheduling unit, ExtractionPipeline session
+    * factory); a cached corpus written under an older layout must be
+    * regenerated, not silently benchmarked (advisor, round 3).
+    */
+  def markerContent(p: Params): String =
+    s"nDocs=${p.nDocs} seed=${p.seed} layout=rowgroup4m"
+
+  /** Generate into `dir` unless a COMPLETE corpus with the SAME params
+    * and layout version is already there. Completion is marked by a
+    * sentinel file written after the last table — a run killed
+    * mid-write, or a corpus from an older layout/params, is
+    * regenerated, never reused.
     */
   def ensure(spark: org.apache.spark.sql.SparkSession, dir: String, p: Params): Unit = {
     val marker = java.nio.file.Paths.get(dir, "_corpus_complete")
-    if (!java.nio.file.Files.exists(marker)) {
+    val expected = markerContent(p) + "\n"
+    val reusable = java.nio.file.Files.exists(marker) &&
+      java.nio.file.Files.readString(marker) == expected
+    if (!reusable) {
+      java.nio.file.Files.deleteIfExists(marker)
       write(spark, dir, p)
-      java.nio.file.Files.writeString(marker, s"nDocs=${p.nDocs} seed=${p.seed}\n")
+      java.nio.file.Files.writeString(marker, expected)
     }
   }
 

@@ -29,7 +29,7 @@ import graft.model.{SpanTask, SubSpan}
   *    partitions, and the kernel runs directly on those partitions.
   *    Kernel parallelism/skew-defense comes from the SCAN SPLIT, not a
   *    shuffle: `spark.sql.files.maxPartitionBytes` (session factory,
-  *    default 16 MB here vs 128 MB stock) makes splits 4-8× finer than
+  *    default 4 MB here vs 128 MB stock) makes splits 4-8× finer than
   *    cores, so greedy task scheduling evens out variable per-blob OCR
   *    cost the way the salt used to — without moving the bytes.
   *  - Inline spans (media_ref = "") never enter the media join: joining
@@ -45,6 +45,8 @@ import graft.model.{SpanTask, SubSpan}
   *    mapPartitions, north_star).
   */
 object ExtractionPipeline {
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Columns of a span task before the kernel. */
   private val taskCols = Seq("doc_id", "offset", "kind", "text", "media_ref", "bytes")
@@ -65,6 +67,20 @@ object ExtractionPipeline {
     val spark = docs.sparkSession
     import spark.implicits._
 
+    // Contract check (advisor, round 3): media-branch kernel
+    // parallelism depends on fine scan splits (see session factory —
+    // 4 MB splits paired with 4 MB payload row groups). Under a
+    // vanilla session (128 MB splits) media-kernel parallelism
+    // silently collapses to file granularity; warn instead of
+    // letting that pass unnoticed.
+    val mpb = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    if (mpb > (32L << 20))
+      log.warn(s"spark.sql.files.maxPartitionBytes=$mpb: media-kernel " +
+        "parallelism runs at scan-split granularity and needs fine " +
+        "splits (ExtractionPipeline.session sets 4m). Large splits " +
+        "collapse kernel parallelism to file granularity.")
+
     // explode_outer + sentinel kind: a doc with an empty (or null)
     // spans array yields one EmptyDoc task whose kernel output is a
     // marker sub-span, stripped during reassembly — so every input
@@ -84,32 +100,59 @@ object ExtractionPipeline {
 
     // Two branches, each one pruned scan of docs (explain-audited —
     // a third inline-only branch would scan docs again for nothing):
-    //  - INNER join of media-span metadata only (doc_id, offset, kind,
-    //    media_ref — text is "" for media kinds, dropped so the build
-    //    side is genuinely payload-free and bytes-free). Catalyst/AQE
-    //    broadcast that side; the payload rows never leave their scan
-    //    partitions, and the kernel maps them IN PLACE — zero byte
-    //    shuffle. PlanSpec asserts no Exchange in this job carries a
-    //    `bytes` column.
-    //  - LEFT ANTI: everything without a payload row — inline
-    //    text/html spans (media_ref "" matches nothing) AND spans
-    //    whose media is missing (payload NULL → the kernel's
-    //    missing-payload error span). One branch covers both.
+    //  - INNER join of MEDIA-KIND span metadata only (doc_id, offset,
+    //    kind, media_ref — media-kind spans have no inline text, so
+    //    dropping `text` keeps the build side genuinely payload-free
+    //    and bytes-free). Catalyst/AQE broadcast that side; the
+    //    payload rows never leave their scan partitions, and the
+    //    kernel maps them IN PLACE — zero byte shuffle. PlanSpec
+    //    asserts no Exchange in this job carries a `bytes` column.
+    //    Kind-gated (round 4): an inline text/html span that happens
+    //    to carry a media_ref must NOT enter this branch — the old
+    //    ref-only routing erased its inline text (silent data loss).
+    //  - LEFT ANTI under the same compound key: everything without a
+    //    (media-kind, payload-row) match — inline text/html spans
+    //    (whatever their media_ref says) AND media-kind spans whose
+    //    payload is missing (bytes NULL → the kernel's missing-payload
+    //    error span). One branch covers both.
+    val isMediaSpan = col("kind").isin(SpanKernel.MediaKinds: _*) &&
+      col("media_ref") =!= lit("")
     val mediaClean = media
       .select(col("media_ref"), col("bytes"))
       .filter(col("media_ref") =!= lit(""))
     val mediaTasks = tasks
-      .filter(col("media_ref") =!= lit(""))
+      .filter(isMediaSpan)
       .select(col("doc_id"), col("offset"), col("kind"), col("media_ref"))
-    // Explicit broadcast of the metadata side: if this were left to the
-    // AQE size estimate, a corpus just past the 10 MB threshold would
-    // silently flip to a sort-merge join and shuffle every payload
-    // byte — the exact regression PlanSpec forbids. At 10^12 docs the
-    // metadata side outgrows any broadcast; the deployment answer is
-    // the storage-co-partitioned layout (media bucketed by
-    // hash(doc_id), Commit.stageByChunk) where this join becomes a
-    // co-located zip — never a payload shuffle.
-    val withMedia = broadcast(mediaTasks)
+    // Explicit broadcast of the metadata side — GATED (round 4): if
+    // the hint were left to the AQE size estimate, a corpus just past
+    // the 10 MB threshold would silently flip to a sort-merge join and
+    // shuffle every payload byte — the regression PlanSpec forbids.
+    // But an UNCONDITIONAL hint turns "input outgrew the broadcast
+    // cap" into a hard driver OOM. The gate reads the optimizer's
+    // file-size-based estimate of the metadata side: under the cap
+    // (default 1 GiB, SPARK_GRAFT_TASK_BROADCAST_CAP) the hint is
+    // applied; over it the job DEGRADES to a shuffle join (bytes cross
+    // one exchange — slow, alive) with a logged pointer to the
+    // no-broadcast paths: the storage-co-partitioned layout
+    // (Commit.stageByChunk per-chunk pruning) or the single-job
+    // bucketed join (Commit.stageBucketed + extractStaged), where this
+    // join is a co-located zip — never a payload shuffle.
+    // SPARK_GRAFT_TASK_BROADCAST=on|off overrides the estimate.
+    val useHint = sys.env.getOrElse("SPARK_GRAFT_TASK_BROADCAST", "auto") match {
+      case "on" => true
+      case "off" => false
+      case _ =>
+        val cap = sys.env.get("SPARK_GRAFT_TASK_BROADCAST_CAP")
+          .map(_.toLong).getOrElse(1L << 30)
+        mediaTasks.queryExecution.optimizedPlan.stats.sizeInBytes <= cap
+    }
+    if (!useHint)
+      log.warn("task-metadata side over the broadcast cap: media join " +
+        "degrades to a shuffle join (payload bytes cross one exchange). " +
+        "For large inputs use Commit.stageBucketed + extractStaged " +
+        "(co-partitioned join, no broadcast, no payload shuffle).")
+    val taskSide = if (useHint) broadcast(mediaTasks) else mediaTasks
+    val withMedia = taskSide
       .join(mediaClean, Seq("media_ref"), "inner")
       .withColumn("text", lit(""))
     val mediaSubs = withMedia.select(taskCols.map(col): _*).as[SpanTask]
@@ -117,21 +160,14 @@ object ExtractionPipeline {
 
     // Inline + missing-media branch: the anti-join's build side is the
     // (tiny, ref-only) media key set, so these rows too stay in their
-    // scan partitions until the salt. The salt moves text only.
-    //
-    // 100-TB byte-movement budget, honestly stated: at fixture scale
-    // the metadata side broadcasts and payloads move zero times. At
-    // 10^12 docs neither join side fits a broadcast, so the join
-    // would shuffle the bytes once. The scale design is STORAGE
-    // CO-PARTITIONING: media laid out bucketed by hash(doc_id)
-    // (Iceberg-partition stand-in), so the join is a co-located zip
-    // and each executor reads only its partitions' payloads — exactly
-    // what the multi-JVM bench harness models with SPARK_GRAFT_CHUNK
-    // co-chunked docs+media pruning (tools/executor_bench.sh,
-    // Bench.scala, Commit.stageByChunk).
+    // scan partitions until the salt. The salt moves text only. The
+    // join condition repeats the media-kind gate so an inline span
+    // whose media_ref collides with a payload row is still kept here.
+    val mediaKeys = mediaClean.select(col("media_ref").as("m_ref"))
     val rest = tasks
-      .join(broadcast(mediaClean.select(col("media_ref"))),
-        Seq("media_ref"), "left_anti")
+      .join(if (useHint) broadcast(mediaKeys) else mediaKeys,
+        col("media_ref") === col("m_ref") &&
+          col("kind").isin(SpanKernel.MediaKinds: _*), "left_anti")
     val salted = rest
       .repartition(partitions,
         pmod(xxhash64(col("doc_id"), col("offset")), lit(partitions)))

@@ -27,6 +27,13 @@ object SpanKernel {
   val TextKind = "text"
   val ErrorKind = "error"
 
+  /** Kinds whose payload lives in the media sidecar. Only these enter
+    * the media join in ExtractionPipeline.extract: an inline
+    * (text/html) span that happens to carry a media_ref keeps its
+    * inline text — routing it through the join would erase it.
+    */
+  val MediaKinds: Seq[String] = Seq("pdf", "png", "jpeg", "zip")
+
   /** Sentinel task kind for a doc whose spans array was empty/null
     * (explode_outer row): the kernel answers with a marker sub-span so
     * the doc_id survives the reassembly groupBy; reassemble strips the

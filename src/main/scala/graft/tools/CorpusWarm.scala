@@ -21,7 +21,20 @@ object CorpusWarm {
     // prune instead of scan-and-filter — the Iceberg-layout stand-in.
     sys.env.get("SPARK_GRAFT_STAGE_CHUNKS").map(_.toInt).foreach { n =>
       val staged = java.nio.file.Paths.get(dir, s"staged$n")
-      if (!java.nio.file.Files.exists(staged.resolve("_staged_complete"))) {
+      // staged sentinel embeds the corpus sentinel (params + layout
+      // version): a staged layout from an older corpus or an older
+      // row-group layout is restaged, never silently reused
+      val sentinel = staged.resolve("_staged_complete")
+      val expected = s"chunks=$n " + CorpusGen.markerContent(
+        CorpusGen.Params(nDocs = nDocs)) + "\n"
+      val reusable = java.nio.file.Files.exists(sentinel) &&
+        java.nio.file.Files.readString(sentinel) == expected
+      if (!reusable) {
+        if (java.nio.file.Files.isDirectory(staged)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(staged).iterator().asScala.toSeq
+            .reverse.foreach(java.nio.file.Files.delete)
+        }
         import org.apache.spark.sql.functions._
         spark.read.parquet(s"$dir/docs")
           .withColumn("chunk", pmod(xxhash64(col("doc_id")), lit(n)))
@@ -34,8 +47,7 @@ object CorpusWarm {
           // 4 MB row groups: scan-split = kernel-scheduling unit
           .option("parquet.block.size", s"${4 << 20}")
           .parquet(s"$staged/media")
-        java.nio.file.Files.writeString(
-          staged.resolve("_staged_complete"), s"chunks=$n\n")
+        java.nio.file.Files.writeString(sentinel, expected)
       }
       println(s"staged chunks ready: $staged")
     }

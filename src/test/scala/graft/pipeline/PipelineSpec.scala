@@ -181,6 +181,38 @@ class PipelineSpec extends AnyFunSuite {
       Seq("m/shared/0#page1", "m/shared/0#page2"))
   }
 
+  test("inline span keeps its text when its media_ref aliases a payload row") {
+    // Round-3 regression (advisor finding): ref-only routing sent ANY
+    // span with a matching media_ref through the media join, erasing
+    // inline text. Routing is now kind-gated — an inline text/html
+    // span that (legally) carries a media_ref pointing at a real blob
+    // must keep its inline text; the blob still extracts for the
+    // media-kind span referencing it.
+    import spark.implicits._
+    val (gray, w, h) = graft.kernel.GlyphFont.render(Seq("HELLO"), scale = 2)
+    val png = graft.kernel.GlyphFont.toPng(gray, w, h)
+    val aliasDocs = Seq(
+      graft.model.Doc("alias-1", Seq(
+        graft.model.Span("text", "inline stays", "m/alias/0", 0),
+        graft.model.Span("png", "", "m/alias/0", 1))),
+      graft.model.Doc("alias-2", Seq(
+        graft.model.Span("html",
+          "<p>this inline html paragraph is kept</p><script>no</script>",
+          "m/alias/0", 0))))
+    val aliasMedia = Seq(graft.model.MediaBlob("m/alias/0", png))
+    val out = ExtractionPipeline.extract(
+      spark.createDataset(aliasDocs).toDF(),
+      spark.createDataset(aliasMedia).toDF(), partitions = 2)
+    val byId = out.collect().map(r => r.getString(0) ->
+      r.getSeq[org.apache.spark.sql.Row](1)).toMap
+    // span 0: inline text preserved (was "" before the fix);
+    // span 1: the payload still extracts via the media branch
+    assert(byId("alias-1").map(s => (s.getString(0), s.getString(1))) ==
+      Seq(("text", "inline stays"), ("text", "HELLO")))
+    assert(byId("alias-2").map(_.getString(1)) ==
+      Seq("this inline html paragraph is kept"))
+  }
+
   test("poison media payload yields an error span, not a crashed job") {
     import spark.implicits._
     val badDocs = Seq(
