@@ -322,7 +322,8 @@ object Queries {
       val planted = d.unionByName(
         d.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
       DedupOps.minhashLshPairs(planted, "doc_id", "text",
-        k = 32, bands = 8, thresholdX1M = 900000L, neutral = true)
+        k = 32, bands = 8, thresholdX1M = 900000L, neutral = true,
+        maxBucket = 1000)
     }),
 
     // dedup: SimHash + hamming distance to the next doc, engine-neutral
@@ -377,7 +378,8 @@ object Queries {
       val p = e.unionByName(e.select(
         (col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
       SimilarityOps.embeddingNearDupPairs(p, "vec_id", "embedding",
-        bits = 8, dims = 64, threshold = 0.9, neutral = true)
+        bits = 8, dims = 64, threshold = 0.9, neutral = true,
+        maxBucket = 1000)
     }),
 
     // V10 full tuple — is_valid (validator.py:31-33 returns
@@ -656,12 +658,14 @@ object Queries {
     "q27_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
          p AS (SELECT vec_id, embedding FROM e UNION ALL SELECT vec_id + 1000000, embedding FROM e),
-         sig AS (SELECT vec_id,
+         sig0 AS (SELECT vec_id,
            CAST(list_sum(list_transform(range(0, 8), i ->
              CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1), j ->
                embedding[j] * ((CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || CAST(j - 1 AS VARCHAR)), 1, 15) AS BIGINT) - 576460752303423488.0) / 576460752303423488.0))) > 0
                   THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS sig
            FROM p),
+         sig AS (SELECT vec_id, sig FROM sig0
+           QUALIFY count(*) OVER (PARTITION BY sig) <= 1000),
          probes AS (SELECT vec_id AS id_b, sig AS probe FROM sig
                     UNION ALL
                     SELECT vec_id, xor(sig, CAST(1 AS BIGINT) << i) FROM sig, range(0, 8) r(i)),
@@ -701,7 +705,8 @@ object Queries {
            FROM hs),
          bands AS (SELECT doc_id, b,
            md5(array_to_string(list_transform(list_slice(sig, b*4+1, b*4+4), x -> CAST(x AS VARCHAR)), ',')) AS bucket
-           FROM sig, range(0, 8) r(b)),
+           FROM sig, range(0, 8) r(b)
+           QUALIFY count(*) OVER (PARTITION BY b, bucket) <= 1000),
          pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
            FROM bands a JOIN bands b ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
          ng AS (SELECT doc_id, list_distinct([substr(text, i, 3) FOR i IN range(1, greatest(length(text) - 1, 1))]) AS g FROM p)

@@ -140,17 +140,36 @@ object DedupOps {
     * replicates every document body `bands` times). Texts are
     * re-joined exactly once, per DISTINCT candidate pair, for the
     * Jaccard verification.
+    *
+    * Degenerate-bucket guard (round 4): a band bucket holding B
+    * members yields O(B²) candidate pairs INSIDE one join key — a
+    * 100 TB web corpus contains exactly such regions (thousands of
+    * empty/boilerplate-identical documents), and AQE's skew split
+    * mitigates but cannot bound the quadratic pair count. Buckets with
+    * more than `maxBucket` members are excluded from candidate
+    * generation. This is a CAP, not silent truncation: report the
+    * victims with [[minhashOversizedBuckets]] (same parameters → same
+    * buckets). Discipline: run exact dedup (q18) FIRST — identical
+    * documents are the dominant bucket-bomb source and belong to the
+    * exact pass anyway.
     */
   def minhashLshPairs(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 32, bands: Int = 8, thresholdX1M: Long = 600000L,
-      neutral: Boolean = false): DataFrame = {
+      neutral: Boolean = false, maxBucket: Int = 1000): DataFrame = {
     // two-step select: aliasing and referencing in one projection would
     // trip Spark's lateral-column-alias resolution on same-named columns
     val withSig = df.select(col(idCol).as("id"), col(textCol).as("text"),
       minhashSignature(col(textCol), k, neutral).as("sig"))
-    val withBands = withSig.select(col("id"),
+    val allBands = withSig.select(col("id"),
       explode(lshBands(col("sig"), k, bands, neutral)).as("bb"))
+    // the guard joins on the same key the candidate join shuffles by,
+    // so the count costs one aggregation, not a new shuffle shape
+    val smallBuckets = allBands.groupBy(col("bb"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= maxBucket)
+      .select(col("bb"))
+    val withBands = allBands.join(smallBuckets, Seq("bb"))
     val a = withBands.select(col("id").as("id_a"), col("bb").as("bb_a"))
     val b = withBands.select(col("id").as("id_b"), col("bb").as("bb_b"))
     // dedup candidate id pairs BEFORE the (expensive) Jaccard verify:
@@ -166,6 +185,24 @@ object DedupOps {
       .select(col("id_a"), col("id_b"),
         TextOps.ngramJaccardX1M(col("text_a"), col("text_b"), 3).as("jaccard_x1m"))
       .filter(col("jaccard_x1m") >= thresholdX1M)
+  }
+
+  /** The band buckets [[minhashLshPairs]] DROPPED under its
+    * `maxBucket` guard — (band, bucket, bucket_n) per oversized
+    * bucket. The no-silent-caps report: a pipeline applying the guard
+    * should count/log these (their members are exact-dup-pass work,
+    * not LSH work).
+    */
+  def minhashOversizedBuckets(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 32, bands: Int = 8, neutral: Boolean = false,
+      maxBucket: Int = 1000): DataFrame = {
+    val withSig = df.select(col(idCol).as("id"),
+      minhashSignature(col(textCol), k, neutral).as("sig"))
+    withSig.select(explode(lshBands(col("sig"), k, bands, neutral)).as("bb"))
+      .groupBy(col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
   }
 
   /** 64-bit SimHash over whitespace tokens: per-bit ±1 votes folded with

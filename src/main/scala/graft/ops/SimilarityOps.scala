@@ -155,9 +155,21 @@ object SimilarityOps {
   def embeddingNearDupPairs(
       embeddings: DataFrame, idCol: String, vecCol: String,
       bits: Int = 8, dims: Int = 64, threshold: Double = 0.9,
-      neutral: Boolean = false): DataFrame = {
-    val sigs = embeddings.select(col(idCol).as("id"),
+      neutral: Boolean = false, maxBucket: Int = 1000): DataFrame = {
+    val allSigs = embeddings.select(col(idCol).as("id"),
       hyperplaneSignature(col(vecCol), bits, dims, neutral).as("sig"))
+    // Degenerate-bucket guard (round 4, mirrors
+    // DedupOps.minhashLshPairs): a home bucket with B members yields
+    // O(B²) candidate pairs inside one join key — the skew bomb AQE
+    // can split but not bound. Vectors whose HOME bucket exceeds
+    // `maxBucket` are excluded from BOTH join sides (their members are
+    // exact-dup-pass work — identical embeddings hash identically).
+    // Report the victims with [[oversizedSigBuckets]].
+    val smallSigs = allSigs.groupBy(col("sig"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= maxBucket)
+      .select(col("sig"))
+    val sigs = allSigs.join(smallSigs, Seq("sig"))
     val a = sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))
     val b = sigs.select(col("id").as("id_b"),
       explode(probesOf(col("sig"), bits)).as("probe_b"))
@@ -173,4 +185,18 @@ object SimilarityOps {
         round(cosine(col("vec_a"), col("vec_b")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
+
+  /** The signature buckets [[embeddingNearDupPairs]] DROPPED under its
+    * `maxBucket` guard — (sig, bucket_n) per oversized home bucket.
+    * The no-silent-caps report for pipelines applying the guard.
+    */
+  def oversizedSigBuckets(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      bits: Int = 8, dims: Int = 64, neutral: Boolean = false,
+      maxBucket: Int = 1000): DataFrame =
+    embeddings
+      .select(hyperplaneSignature(col(vecCol), bits, dims, neutral).as("sig"))
+      .groupBy(col("sig"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
 }

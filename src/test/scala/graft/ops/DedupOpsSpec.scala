@@ -60,6 +60,58 @@ class DedupOpsSpec extends AnyFunSuite {
       s"unrelated pairs too close: min hamming ${unrelated.min}")
   }
 
+  test("degenerate-bucket guard bounds the pair blowup and reports its victims") {
+    // a boilerplate bomb: 500 identical documents — every band maps
+    // them to ONE bucket, so unguarded candidate generation emits
+    // 500*499/2 ≈ 125k pairs inside a single join key. With the guard
+    // they are excluded (exact-dup work, not LSH work) while the
+    // planted near-dups elsewhere still pair; the dropped buckets are
+    // REPORTED, not silently swallowed.
+    val bombText = Seq.fill(60)("boilerplate cookie banner terms").mkString(" ")
+    val bomb = (0 until 500).map(i => (5000L + i, bombText))
+    val mixed = (baseDocs ++ nearDups ++ bomb).toDF("doc_id", "text")
+    val pairs = DedupOps
+      .minhashLshPairs(mixed, "doc_id", "text",
+        k = 32, bands = 8, thresholdX1M = 800000L, maxBucket = 100)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val planted = (0 until 5).map(i => (i.toLong, i + 1000L)).toSet
+    assert(pairs == planted,
+      s"guarded pairs must be exactly the planted near-dups, got ${pairs.size}")
+    val dropped = DedupOps
+      .minhashOversizedBuckets(mixed, "doc_id", "text",
+        k = 32, bands = 8, maxBucket = 100)
+      .select("band", "bucket_n").as[(Int, Long)].collect()
+    // the bomb bucket surfaces in every band, with its full population
+    assert(dropped.length == 8, dropped.mkString(", "))
+    assert(dropped.forall(_._2 == 500L), dropped.mkString(", "))
+  }
+
+  test("embedding near-dup guard excludes an identical-vector bomb from both join sides") {
+    val vrng = new scala.util.Random(11)
+    def randVec(): Array[Float] =
+      Array.fill(16)((vrng.nextDouble() * 2 - 1).toFloat)
+    val base = (0 until 40).map(i => (i.toLong, randVec()))
+    // planted near-identical pair
+    val v0 = base.head._2.clone(); v0(0) = v0(0) + 1e-4f
+    // the bomb: 300 identical vectors -> one home bucket
+    val bombVec = randVec()
+    val bomb = (0 until 300).map(i => (5000L + i, bombVec))
+    val emb = (base ++ Seq((999L, v0)) ++ bomb).toDF("vec_id", "embedding")
+    val pairs = SimilarityOps
+      .embeddingNearDupPairs(emb, "vec_id", "embedding",
+        bits = 8, dims = 16, threshold = 0.999, maxBucket = 100)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 999L)),
+      s"expected only the planted pair, got ${pairs.size} pairs")
+    val dropped = SimilarityOps
+      .oversizedSigBuckets(emb, "vec_id", "embedding",
+        bits = 8, dims = 16, maxBucket = 100)
+      .select("bucket_n").as[Long].collect()
+    // exactly one oversized home bucket: the 300 bomb vectors plus any
+    // random vectors that happen to share the 8-bit bucket
+    assert(dropped.length == 1 && dropped.head >= 300L, dropped.mkString(", "))
+  }
+
   test("lshTopK (default splitmix hyperplanes) surfaces a planted near-identical vector") {
     val vrng = new scala.util.Random(7)
     def randVec(): Array[Float] =
