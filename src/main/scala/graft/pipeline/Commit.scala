@@ -117,6 +117,85 @@ object Commit {
         .parquet(s"$stagedRoot/media"))
   }
 
+  /** Handle to a bucketed staging layout (see [[stageBucketed]]). */
+  final case class BucketedStage(
+      tasksTable: String,
+      mediaTable: String,
+      inlineDir: String,
+      buckets: Int)
+
+  /** Stage the input CO-BUCKETED BY `media_ref` — the storage layout
+    * under which the media join needs neither a broadcast nor any
+    * exchange (ExtractionPipeline.extractStaged). Three outputs:
+    *
+    *  - media-span task metadata (doc_id, offset, kind, media_ref —
+    *    bytes-free), bucketed+sorted by media_ref;
+    *  - payloads, bucketed+sorted by media_ref, 4 MB row groups;
+    *  - inline tasks (text/html/empty-doc/ref-less), plain parquet —
+    *    they never touch the join.
+    *
+    * Both bucketed writes repartition by the bucket key first so each
+    * bucket lands in ONE file (write-side HashPartitioning matches the
+    * bucket spec), letting the scan-side sort elide. Bucket metadata
+    * lives in the session catalog (saveAsTable): this is the sandbox
+    * stand-in for an Iceberg table whose partition spec carries
+    * `bucket(N, media_ref)` durably — reuse across sessions restages
+    * if the catalog entry is gone. Staging is guarded by the same
+    * atomic snapshot sentinel as [[stageByChunk]].
+    */
+  def stageBucketed(
+      spark: SparkSession,
+      docs: DataFrame,
+      media: DataFrame,
+      outDir: String,
+      buckets: Int): BucketedStage = {
+    require(buckets > 0)
+    val root = Paths.get(outDir, "_bucketed", s"buckets=$buckets")
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$outDir|$buckets".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+    val tasksTbl = s"graft_bucketed_tasks_$tag"
+    val mediaTbl = s"graft_bucketed_media_$tag"
+    val sentinel = root.resolve("_bucketed_complete")
+    val snap = snapshotId(docs)
+    val reusable = Files.exists(sentinel) &&
+      Files.readString(sentinel).trim == snap &&
+      spark.catalog.tableExists(tasksTbl) &&
+      spark.catalog.tableExists(mediaTbl)
+    if (!reusable) {
+      spark.sql(s"DROP TABLE IF EXISTS $tasksTbl")
+      spark.sql(s"DROP TABLE IF EXISTS $mediaTbl")
+      if (Files.isDirectory(root))
+        Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(Files.delete)
+      val tasks = ExtractionPipeline.spanTasks(docs)
+      val isMedia = ExtractionPipeline.isMediaSpan
+      tasks.filter(isMedia)
+        .select(col("doc_id"), col("offset"), col("kind"), col("media_ref"))
+        .repartition(buckets, col("media_ref"))
+        .write.format("parquet")
+        .bucketBy(buckets, "media_ref").sortBy("media_ref")
+        .option("path", s"$root/tasks")
+        .mode("overwrite").saveAsTable(tasksTbl)
+      media.filter(col("media_ref") =!= lit(""))
+        .select(col("media_ref"), col("bytes"))
+        .repartition(buckets, col("media_ref"))
+        .write.format("parquet")
+        .bucketBy(buckets, "media_ref").sortBy("media_ref")
+        .option("path", s"$root/media")
+        // 4 MB row groups: scan-split = kernel-scheduling unit
+        .option("parquet.block.size", s"${4 << 20}")
+        .mode("overwrite").saveAsTable(mediaTbl)
+      tasks.filter(!isMedia)
+        .write.mode("overwrite").parquet(s"$root/inline")
+      val tmp = root.resolve("._bucketed_complete.tmp")
+      Files.writeString(tmp, snap)
+      Files.move(tmp, sentinel,
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
+    BucketedStage(tasksTbl, mediaTbl, s"$root/inline", buckets)
+  }
+
   /** Run the extraction chunk-by-chunk with idempotent commits.
     *
     * @param failAfterChunks test hook — throw after committing this many

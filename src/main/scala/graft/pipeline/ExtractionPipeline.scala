@@ -51,6 +51,29 @@ object ExtractionPipeline {
   /** Columns of a span task before the kernel. */
   private val taskCols = Seq("doc_id", "offset", "kind", "text", "media_ref", "bytes")
 
+  /** docs → one task row per span. explode_outer + sentinel kind: a
+    * doc with an empty (or null) spans array yields one EmptyDoc task
+    * whose kernel output is a marker sub-span, stripped during
+    * reassembly — so every input doc_id reaches the output WITHOUT a
+    * driver-side join back to the docs table (which `explain` showed
+    * as an extra full scan + a SortMergeJoin with sorts on both sides).
+    */
+  def spanTasks(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode_outer(col("spans")).as("span"))
+      .select(
+        col("doc_id"),
+        coalesce(col("span.offset"), lit(0)).as("offset"),
+        coalesce(col("span.kind"), lit(SpanKernel.EmptyDocKind)).as("kind"),
+        coalesce(col("span.text"), lit("")).as("text"),
+        // NULL media_ref ≡ inline: `=!= ""` on NULL is NULL (row would
+        // silently drop from BOTH filter branches)
+        coalesce(col("span.media_ref"), lit("")).as("media_ref"))
+
+  /** Predicate: this task's payload lives in the media sidecar. */
+  def isMediaSpan: org.apache.spark.sql.Column =
+    col("kind").isin(SpanKernel.MediaKinds: _*) && col("media_ref") =!= lit("")
+
   /** Pure transformation: docs (+ media sidecar) → extracted docs with
     * the same `(doc_id, spans)` shape, media spans replaced by their
     * extracted text spans, order preserved, offsets renumbered 0..n-1.
@@ -81,22 +104,7 @@ object ExtractionPipeline {
         "splits (ExtractionPipeline.session sets 4m). Large splits " +
         "collapse kernel parallelism to file granularity.")
 
-    // explode_outer + sentinel kind: a doc with an empty (or null)
-    // spans array yields one EmptyDoc task whose kernel output is a
-    // marker sub-span, stripped during reassembly — so every input
-    // doc_id reaches the output WITHOUT a driver-side join back to the
-    // docs table (which `explain` showed as an extra full scan + a
-    // SortMergeJoin with sorts on both sides).
-    val tasks = docs
-      .select(col("doc_id"), explode_outer(col("spans")).as("span"))
-      .select(
-        col("doc_id"),
-        coalesce(col("span.offset"), lit(0)).as("offset"),
-        coalesce(col("span.kind"), lit(SpanKernel.EmptyDocKind)).as("kind"),
-        coalesce(col("span.text"), lit("")).as("text"),
-        // NULL media_ref ≡ inline: `=!= ""` on NULL is NULL (row would
-        // silently drop from BOTH filter branches)
-        coalesce(col("span.media_ref"), lit("")).as("media_ref"))
+    val tasks = spanTasks(docs)
 
     // Two branches, each one pruned scan of docs (explain-audited —
     // a third inline-only branch would scan docs again for nothing):
@@ -115,8 +123,6 @@ object ExtractionPipeline {
     //    (whatever their media_ref says) AND media-kind spans whose
     //    payload is missing (bytes NULL → the kernel's missing-payload
     //    error span). One branch covers both.
-    val isMediaSpan = col("kind").isin(SpanKernel.MediaKinds: _*) &&
-      col("media_ref") =!= lit("")
     val mediaClean = media
       .select(col("media_ref"), col("bytes"))
       .filter(col("media_ref") =!= lit(""))
@@ -174,6 +180,76 @@ object ExtractionPipeline {
       // null payload column added AFTER the salt so even this 1-byte
       // placeholder stays out of the exchange (PlanSpec asserts no
       // Exchange input schema contains `bytes` at all)
+      .withColumn("bytes", lit(null).cast(BinaryType))
+    val inlineSubs = salted.select(taskCols.map(col): _*).as[SpanTask]
+      .mapPartitions(_.flatMap(t => SpanKernel.process(t, asOf)))
+
+    reassemble(mediaSubs.toDF().unionByName(inlineSubs.toDF()))
+  }
+
+  /** The 10^12-doc media join: both sides of `Commit.stageBucketed`'s
+    * layout are bucketed by `media_ref` with the same bucket count, so
+    * the task-metadata ⋈ payload join is a CO-LOCATED ZIP — no
+    * broadcast (nothing to outgrow, no driver OOM), no Exchange on
+    * either side (PlanSpec-asserted), payload bytes never leave their
+    * bucket's scan partitions. This is the single-job answer to the
+    * regime where `extract`'s gated broadcast no longer fits: the
+    * Iceberg deployment writes media bucket-partitioned by media_ref
+    * once at ingest and every extraction run joins exchange-free.
+    *
+    * LEFT join: a media-kind task whose payload row is absent reads
+    * NULL bytes and the kernel emits the missing-payload error span —
+    * identical semantics to `extract`'s anti-join branch, with zero
+    * extra scan. Inline spans were routed to a plain staged table at
+    * staging time and take the same salted repartition as `extract`.
+    *
+    * Parallelism note: a bucketed scan reads one PARTITION PER BUCKET
+    * (maxPartitionBytes does not apply), so media-kernel parallelism
+    * equals the bucket count — choose `buckets` ≳ 4× total cores at
+    * deployment so greedy scheduling still absorbs variable per-blob
+    * cost, exactly the role the 4 MB scan splits play in `extract`.
+    */
+  def extractStaged(
+      spark: SparkSession,
+      stage: Commit.BucketedStage,
+      partitions: Int = 32,
+      asOf: LocalDate = DateExtract.DefaultAsOf): DataFrame = {
+    import spark.implicits._
+    val mediaTasks = spark.table(stage.tasksTable)
+    val payloads = spark.table(stage.mediaTable)
+      .select(col("media_ref"), col("bytes"))
+    // SHUFFLE_HASH hint on the metadata side: without it the fixture-
+    // scale size estimate picks a broadcast join, silently
+    // reintroducing the dependence this path exists to remove; with a
+    // MERGE hint the payload side gets a per-bucket Sort that
+    // materializes bytes in the sorter. ShuffledHashJoin BuildLeft
+    // (LeftOuter) over the co-bucketed scans is the ideal: hash map of
+    // the per-bucket task METADATA, payload rows streamed through the
+    // probe — no exchange, no broadcast, no payload sort, at EVERY
+    // scale (bucketed scan output partitioning already satisfies the
+    // join distribution).
+    val withMedia = mediaTasks.hint("shuffle_hash")
+      .join(payloads, Seq("media_ref"), "left")
+      .withColumn("text", lit(""))
+    val mediaSubs = withMedia.select(taskCols.map(col): _*).as[SpanTask]
+      .mapPartitions(_.flatMap(t => SpanKernel.process(t, asOf)))
+
+    // explicit schema: a corpus with no inline spans reads back as an
+    // empty frame instead of failing schema inference
+    val inlineSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("offset",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("kind",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("media_ref",
+        org.apache.spark.sql.types.StringType)))
+    val salted = spark.read.schema(inlineSchema).parquet(stage.inlineDir)
+      .repartition(partitions,
+        pmod(xxhash64(col("doc_id"), col("offset")), lit(partitions)))
       .withColumn("bytes", lit(null).cast(BinaryType))
     val inlineSubs = salted.select(taskCols.map(col): _*).as[SpanTask]
       .mapPartitions(_.flatMap(t => SpanKernel.process(t, asOf)))

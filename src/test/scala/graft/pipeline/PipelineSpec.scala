@@ -181,6 +181,37 @@ class PipelineSpec extends AnyFunSuite {
       Seq("m/shared/0#page1", "m/shared/0#page2"))
   }
 
+  test("bucketed staged extract matches the golden spans (no-broadcast path)") {
+    val outDir = Files.createTempDirectory("graft_bucketed").toString
+    val stage = Commit.stageBucketed(spark, docs, media, outDir, buckets = 8)
+    val out = ExtractionPipeline.extractStaged(spark, stage, partitions = 8)
+    assert(out.count() == golden.count())
+    assert(mismatches(out, golden) == 0L)
+    // staging is idempotent: a second call reuses the layout
+    val again = Commit.stageBucketed(spark, docs, media, outDir, buckets = 8)
+    assert(again == stage)
+  }
+
+  test("bucketed staged extract: missing payload and empty docs keep extract()'s semantics") {
+    import spark.implicits._
+    val weird = Seq(
+      graft.model.Doc("bw-null-ref", Seq(graft.model.Span("text", "hello", null, 0))),
+      graft.model.Doc("bw-empty", Nil),
+      graft.model.Doc("bw-missing-media", Seq(graft.model.Span("pdf", "", "m/nope/0", 0))))
+    val outDir = Files.createTempDirectory("graft_bucketed_w").toString
+    val stage = Commit.stageBucketed(spark,
+      spark.createDataset(weird).toDF(),
+      spark.emptyDataset[graft.model.MediaBlob].toDF(), outDir, buckets = 4)
+    val out = ExtractionPipeline.extractStaged(spark, stage, partitions = 2)
+    assert(out.count() == 3)
+    val byId = out.collect().map(r => r.getString(0) ->
+      r.getSeq[org.apache.spark.sql.Row](1)).toMap
+    assert(byId("bw-null-ref").map(s => (s.getString(0), s.getString(1))) ==
+      Seq(("text", "hello")))
+    assert(byId("bw-empty").isEmpty)
+    assert(byId("bw-missing-media").map(_.getString(0)) == Seq("error"))
+  }
+
   test("inline span keeps its text when its media_ref aliases a payload row") {
     // Round-3 regression (advisor finding): ref-only routing sent ANY
     // span with a matching media_ref through the media join, erasing
