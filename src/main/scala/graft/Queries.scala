@@ -407,6 +407,24 @@ object Queries {
       t(s, dir, "orders").select(k,
         (size(flat) === 0).cast("int").as("is_valid"),
         size(flat).cast("int").as("n_warnings"))
+    }),
+
+    // near-dup clustering: pairs → groups via connected components
+    // (min-label propagation). Deterministic multi-hop graph over the
+    // documents keys: 3-chains (k, k+1) for k%5<2 plus skip edges
+    // (k, k+7) for k%20==0 that merge two chains — components of up to
+    // 6 vertices, diameter 4, so the propagation loop genuinely
+    // iterates. Oracle = recursive-CTE transitive closure.
+    "q30_neardup_clusters" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 500)
+      val chain = d.filter(col("doc_id") % 5 < 2)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+      val skip = d.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 7).as("id_b"))
+      DedupOps.connectedComponents(
+          chain.unionByName(skip), "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("cluster"))
     })
   )
 
@@ -747,6 +765,21 @@ object Queries {
          cand AS (SELECT DISTINCT s.vec_id, round(list_cosine_similarity(s.embedding, (SELECT qv FROM q)), 6) AS cos_sim
                   FROM sig s WHERE s.sig IN (SELECT p FROM probes)),
          ranked AS (SELECT vec_id, cos_sim, row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rank FROM cand)
-         SELECT vec_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM ranked WHERE rank <= 10"""
+         SELECT vec_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM ranked WHERE rank <= 10""",
+
+    // Connected-components twin: recursive-CTE transitive closure over
+    // the same deterministic edge set; cluster = min(src, reachable).
+    "q30_neardup_clusters" ->
+      """WITH RECURSIVE
+         n AS (SELECT doc_id FROM documents WHERE doc_id < 500),
+         e0 AS (SELECT doc_id AS a, doc_id + 1 AS b FROM n WHERE doc_id % 5 < 2
+                UNION ALL
+                SELECT doc_id AS a, doc_id + 7 AS b FROM n WHERE doc_id % 20 = 0),
+         e AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+         reach AS (SELECT a AS src, b AS dst FROM e
+                   UNION
+                   SELECT r.src, e.b AS dst FROM reach r JOIN e ON r.dst = e.a)
+         SELECT src AS doc_id, least(src, min(dst)) AS cluster
+         FROM reach GROUP BY src"""
   )
 }

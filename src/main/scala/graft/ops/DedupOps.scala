@@ -205,6 +205,57 @@ object DedupOps {
       .filter(col("bucket_n") > maxBucket)
   }
 
+  /** Connected components over an undirected pair graph — the last
+    * step of the near-dup story: [[minhashLshPairs]] /
+    * [[graft.ops.SimilarityOps.embeddingNearDupPairs]] emit PAIRS, and
+    * choosing one keeper per duplicate GROUP needs the transitive
+    * closure. Returns (id, cluster) for every vertex, where `cluster`
+    * is the component's minimum id — the canonical keeper.
+    *
+    * Algorithm: min-label propagation — every vertex repeatedly adopts
+    * the minimum label among itself and its neighbours until fixpoint.
+    * Each round is one join + one groupBy on the vertex key (both
+    * shuffle on high-cardinality ids, AQE-coalesced); rounds = graph
+    * diameter. Near-dup graphs are dense local cliques (diameter 2-4),
+    * so a handful of rounds converge; for adversarial long-chain
+    * graphs the O(log n)-round large-star/small-star variant (Kiveris
+    * et al. 2014) is the documented upgrade path. `localCheckpoint`
+    * per round cuts the otherwise O(rounds)-deep lineage, and the
+    * driver loop submits O(diameter) jobs — never O(rows) work.
+    */
+  def connectedComponents(
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val und = edges
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = und.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val next = und
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"), col("cluster"))
+        .unionByName(labels)
+        .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
+        .localCheckpoint()
+      // labels only ever decrease, so fixpoint ⇔ no (id, cluster)
+      // changed; the check rides the already-materialized checkpoints
+      val changed = next
+        .join(labels.withColumnRenamed("cluster", "prev"), Seq("id"))
+        .filter(col("cluster") =!= col("prev")).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    labels
+  }
+
   /** 64-bit SimHash over whitespace tokens: per-bit ±1 votes folded with
     * HOFs, packed as the sign vector. Per-row, zero shuffle.
     * `neutral = true` swaps xxhash64 for the md5-derived hash (60

@@ -112,6 +112,55 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(dropped.length == 1 && dropped.head >= 300L, dropped.mkString(", "))
   }
 
+  test("connectedComponents matches a driver-side union-find on a random graph") {
+    // seeded random graph: 300 vertices, 260 edges — a mix of chains,
+    // small cliques and singleton-free components with diameter > 2
+    val grng = new scala.util.Random(99)
+    val edges = (0 until 260).map { _ =>
+      val a = grng.nextInt(300); val b = grng.nextInt(300)
+      (a.toLong, b.toLong)
+    }.filter(e => e._1 != e._2)
+    // reference: plain union-find
+    val parent = Array.tabulate(300)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val vertices = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val expected = vertices.map { v =>
+      // canonical label: the minimum vertex id in the component
+      val root = find(v.toInt)
+      val minInComp = vertices.filter(u => find(u.toInt) == root).min
+      v -> minInComp
+    }.toMap
+    val got = DedupOps
+      .connectedComponents(edges.toDF("id_a", "id_b"), "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected)
+  }
+
+  test("minhash pairs cluster into groups with one keeper per component") {
+    // chain near-dups so transitivity matters: doc 0 ~ 1000 ~ 2000
+    // (1000 and 2000 are near-dups of 0 through different token
+    // replacements — LSH pairs (0,1000),(0,2000),(1000,2000) or a
+    // subset; the cluster must still be one group labeled 0)
+    val toks = baseDocs.head._2.split(" ")
+    val variants = Seq(
+      (2000L, (toks.dropRight(2) ++ Seq("y0a", "y0b")).mkString(" ")))
+    val corpus3 = (baseDocs ++ nearDups ++ variants).toDF("doc_id", "text")
+    val pairs = DedupOps.minhashLshPairs(corpus3, "doc_id", "text",
+      k = 32, bands = 8, thresholdX1M = 800000L)
+    val clusters = DedupOps.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    // 0, its near-dup 1000, and variant 2000 all label to keeper 0
+    assert(clusters(1000L) == 0L)
+    assert(clusters(2000L) == 0L)
+    assert(clusters(0L) == 0L)
+    // the other planted pairs each form their own 2-groups
+    (1 until 5).foreach(i => assert(clusters(i + 1000L) == i.toLong))
+  }
+
   test("lshTopK (default splitmix hyperplanes) surfaces a planted near-identical vector") {
     val vrng = new scala.util.Random(7)
     def randVec(): Array[Float] =
