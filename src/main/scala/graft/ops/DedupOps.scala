@@ -113,6 +113,18 @@ object DedupOps {
           else xxhash64(h, seed))))
   }
 
+  /** All ordered pairs (id_a < id_b) within one SORTED id array, as
+    * array<struct<id_a, id_b>> — in-place candidate generation for a
+    * bucket whose population the guard has already bounded. Pure HOF:
+    * for element i, pair it with every later element.
+    */
+  def pairsWithin(sortedIds: Column): Column =
+    flatten(zip_with(sortedIds,
+      sequence(lit(1), greatest(size(sortedIds), lit(1))),
+      (x, i) => transform(
+        slice(sortedIds, i + 1, greatest(size(sortedIds) - i, lit(0))),
+        y => struct(x.as("id_a"), y.as("id_b")))))
+
   /** LSH band buckets: the k-long signature split into `bands` groups
     * whose hashes become join keys; near-dups collide in ≥1 band whp.
     * Neutral buckets are md5 of the comma-joined slice (string key).
@@ -163,20 +175,27 @@ object DedupOps {
       minhashSignature(col(textCol), k, neutral).as("sig"))
     val allBands = withSig.select(col("id"),
       explode(lshBands(col("sig"), k, bands, neutral)).as("bb"))
-    // the guard joins on the same key the candidate join shuffles by,
-    // so the count costs one aggregation, not a new shuffle shape
+    // Guard + in-bucket pair generation (round 4): the count
+    // aggregation filters oversized buckets FIRST (so no collect ever
+    // materializes a bomb bucket's ids), then each surviving bucket
+    // collects its ≤ maxBucket ids and emits its pairs IN PLACE — one
+    // groupBy replaces the round-3 two-sided self-join, removing a
+    // full (id, bucket) shuffle: the collect groupBy sits on the join
+    // output already partitioned by the bucket key. Pairs are
+    // distinct'd BEFORE the (expensive) Jaccard verify: on
+    // vocabulary-uniform corpora many bands collide for the same pair.
     val smallBuckets = allBands.groupBy(col("bb"))
       .agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n") <= maxBucket)
+      .filter(col("bucket_n").between(2, maxBucket))
       .select(col("bb"))
-    val withBands = allBands.join(smallBuckets, Seq("bb"))
-    val a = withBands.select(col("id").as("id_a"), col("bb").as("bb_a"))
-    val b = withBands.select(col("id").as("id_b"), col("bb").as("bb_b"))
-    // dedup candidate id pairs BEFORE the (expensive) Jaccard verify:
-    // on vocabulary-uniform corpora many bands collide for the same pair
-    val pairs = a
-      .join(b, col("bb_a") === col("bb_b") && col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
+    // sort INSIDE the agg projection: pairsWithin references its input
+    // inside HOF lambdas, and interpreted HOFs re-evaluate computed
+    // subtrees per element — the input must be a plain attribute
+    val pairs = allBands.join(smallBuckets, Seq("bb"))
+      .groupBy(col("bb"))
+      .agg(array_sort(collect_set(col("id"))).as("ids"))
+      .select(explode(pairsWithin(col("ids"))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .distinct()
     val texts = withSig.select(col("id"), col("text"))
     pairs

@@ -163,20 +163,40 @@ object SimilarityOps {
     // O(B²) candidate pairs inside one join key — the skew bomb AQE
     // can split but not bound. Vectors whose HOME bucket exceeds
     // `maxBucket` are excluded from BOTH join sides (their members are
-    // exact-dup-pass work — identical embeddings hash identically).
-    // Report the victims with [[oversizedSigBuckets]].
+    // exact-dup-pass work — identical embeddings hash identically);
+    // the count filter runs BEFORE any collect, so a bomb bucket's ids
+    // are never materialized. Report victims: [[oversizedSigBuckets]].
     val smallSigs = allSigs.groupBy(col("sig"))
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") <= maxBucket)
       .select(col("sig"))
-    val sigs = allSigs.join(smallSigs, Seq("sig"))
-    val a = sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = sigs.select(col("id").as("id_b"),
-      explode(probesOf(col("sig"), bits)).as("probe_b"))
-    val pairs = a
-      .join(b, col("sig_a") === col("probe_b") && col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
+    // Bucket-level candidate generation (round 4): collapse to ONE ROW
+    // PER DISTINCT SIGNATURE carrying its (guard-bounded) id set, then
+    //  - hamming-0 pairs in place within each bucket;
+    //  - hamming-1 pairs via a join of each bucket against its 1-bit
+    //    flips — a join over DISTINCT signatures, not over rows. The
+    //    round-3 shape shuffled (1+bits)×n probe ROWS through the
+    //    self-join; this shuffles one row per occupied bucket.
+    val buckets = allSigs.join(smallSigs, Seq("sig"))
+      .groupBy(col("sig"))
+      .agg(array_sort(collect_set(col("id"))).as("ids"))
+    val within = buckets.filter(size(col("ids")) >= 2)
+      .select(explode(DedupOps.pairsWithin(col("ids"))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+    // sig < nsig keeps each unordered bucket pair exactly once (the
+    // 1-bit-flip relation is symmetric)
+    val flips = buckets
+      .select(col("sig"), col("ids").as("ids_a"),
+        explode(transform(sequence(lit(0), lit(bits - 1)),
+          i => col("sig").bitwiseXOR(
+            call_function("shiftleft", lit(1L), i)))).as("nsig"))
+      .filter(col("sig") < col("nsig"))
+    val cross = flips
+      .join(buckets.select(col("sig").as("nsig"), col("ids").as("ids_b")),
+        Seq("nsig"))
+      .select(explode(crossBucketPairs(col("ids_a"), col("ids_b"))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+    val pairs = within.unionByName(cross).distinct()
     val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
     pairs
       .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
@@ -185,6 +205,15 @@ object SimilarityOps {
         round(cosine(col("vec_a"), col("vec_b")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
+
+  /** All cross pairs between two DISJOINT id arrays (distinct home
+    * buckets ⇒ no id appears in both), ordered id_a < id_b via
+    * least/greatest. Inputs must be plain attributes (interpreted HOFs
+    * re-evaluate computed subtrees per element).
+    */
+  private def crossBucketPairs(as: Column, bs: Column): Column =
+    flatten(transform(as, x => transform(bs, y =>
+      struct(least(x, y).as("id_a"), greatest(x, y).as("id_b")))))
 
   /** The signature buckets [[embeddingNearDupPairs]] DROPPED under its
     * `maxBucket` guard — (sig, bucket_n) per oversized home bucket.

@@ -212,6 +212,45 @@ class PipelineSpec extends AnyFunSuite {
     assert(byId("bw-missing-media").map(_.getString(0)) == Seq("error"))
   }
 
+  test("extract and extractStaged agree exactly on a randomized adversarial corpus") {
+    // seeded random docs mixing every edge shape at once: null/empty
+    // text, null/aliased/missing media_refs, unknown kinds, empty
+    // docs, shared payloads — the two execution paths (gated-broadcast
+    // vs co-bucketed) must be row-for-row identical on all of it.
+    import spark.implicits._
+    val rng = new scala.util.Random(1234)
+    val kinds = Seq("text", "html", "pdf", "png", "jpeg", "zip", "weird")
+    val pdf = graft.kernel.PdfText.build(Seq(
+      graft.kernel.PdfText.TextPageSpec(Seq("rand page"))))
+    val refs = (0 until 12).map(i => s"m/rand/$i")
+    val media = refs.take(8).map(r => graft.model.MediaBlob(r, pdf)) // 4 refs dangle
+    val docs = (0 until 80).map { d =>
+      val spans = (0 until rng.nextInt(6)).map { o =>
+        val kind = kinds(rng.nextInt(kinds.length))
+        val text = rng.nextInt(3) match {
+          case 0 => null
+          case 1 => ""
+          case _ => s"inline text $d-$o with enough length to survive html min-block"
+        }
+        val ref = rng.nextInt(3) match {
+          case 0 => null
+          case 1 => ""
+          case _ => refs(rng.nextInt(refs.length))
+        }
+        graft.model.Span(kind, text, ref, o)
+      }
+      graft.model.Doc(s"rand-$d", spans)
+    }
+    val docsDf = spark.createDataset(docs).toDF()
+    val mediaDf = spark.createDataset(media).toDF()
+    val a = ExtractionPipeline.extract(docsDf, mediaDf, partitions = 4)
+    val outDir = Files.createTempDirectory("graft_rand_bucketed").toString
+    val stage = Commit.stageBucketed(spark, docsDf, mediaDf, outDir, buckets = 4)
+    val b = ExtractionPipeline.extractStaged(spark, stage, partitions = 4)
+    assert(a.count() == 80 && b.count() == 80)
+    assert(mismatches(a, b) == 0L)
+  }
+
   test("inline span keeps its text when its media_ref aliases a payload row") {
     // Round-3 regression (advisor finding): ref-only routing sent ANY
     // span with a matching media_ref through the media join, erasing
