@@ -129,12 +129,20 @@ object Bench {
       ExtractionPipeline.extract(docs, media, cpus * 4)).count()
     val invoiceSec = if (skipInvoice) 0.0 else (System.nanoTime() - t1) / 1e9
 
-    // --- optional: the no-broadcast co-bucketed path ------------------
-    // SPARK_GRAFT_BUCKETS=n stages the corpus bucketed by media_ref
-    // (one-time layout job, the Iceberg-ingest stand-in — excluded
-    // from timing) and times extractStaged: the single-job join path
-    // with zero broadcast and zero exchange on the media join.
-    val stagedSecs = sys.env.get("SPARK_GRAFT_BUCKETS").map(_.toInt).map { b =>
+    // --- the no-broadcast co-bucketed path ----------------------------
+    // Stages the corpus bucketed by media_ref (one-time layout job,
+    // the Iceberg-ingest stand-in — excluded from timing) and times
+    // extractStaged: the single-job join path with zero broadcast and
+    // zero exchange on the media join. Default ON for full
+    // driver-shape runs (buckets = 4×cpus); off in the scaling-harness
+    // shapes (SKIP_QUERIES / CHUNK runs measure only the north-star
+    // extract). SPARK_GRAFT_BUCKETS=n overrides, 0 disables.
+    val skipQueriesEnv = sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1")
+    val stagedSecs = sys.env.get("SPARK_GRAFT_BUCKETS").map(_.toInt)
+      .orElse(
+        if (skipQueriesEnv || sys.env.get("SPARK_GRAFT_CHUNK").exists(_.nonEmpty)) None
+        else Some(cpus * 4))
+      .filter(_ > 0).map { b =>
       val stage = graft.pipeline.Commit.stageBucketed(
         spark, docs, media, s"$benchDir/bucketed_bench", b)
       ExtractionPipeline.extractStaged(spark, stage, cpus * 4).count() // warm
@@ -153,7 +161,7 @@ object Bench {
     // --- operator queries over the sf tables --------------------------
     // SPARK_GRAFT_SKIP_QUERIES=1 -> pipeline-only timing (tight scaling
     // trials on a noisy-neighbour box need short runs)
-    val skipQueries = sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1")
+    val skipQueries = skipQueriesEnv
     val results = (if (skipQueries) Map.empty[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame]
       else SparkEntry.queries).toSeq.sortBy(_._1).map { case (name, fn) =>
       val q0 = System.nanoTime()
