@@ -210,4 +210,32 @@ object InvoiceExtract {
   def writeCsv(invoices: DataFrame, path: String): Unit =
     exportProjection(invoices)
       .write.mode("overwrite").option("header", "true").csv(path)
+
+  /** S9 — Excel sink (reference app/utils/exporter.py:99-117): sheet
+    * "Invoices", the same 12-column projection as the CSV twin, auto
+    * column widths (max cell length + 2, header included). Written as
+    * real minimal OOXML workbooks ([[XlsxSink]] — no POI needed): one
+    * .xlsx per partition via the Hadoop FS API, mirroring the shape
+    * of every other Spark file sink (the reference's single in-memory
+    * workbook is a bounded per-task export; a single file at scale
+    * would serialize the world through the driver — coalesce(1)
+    * upstream if one file is genuinely wanted). Each partition's rows
+    * are buffered once to compute the width rule, which needs a full
+    * column pass by definition.
+    */
+  def writeXlsx(invoices: DataFrame, path: String): Unit = {
+    val proj = exportProjection(invoices)
+    val headers = proj.columns.toSeq
+    proj.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      if (it.hasNext) {
+        val rows = it.map(r => (0 until r.length).map(r.get).toSeq).toVector
+        val bytes = XlsxSink.build(headers, rows)
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val p = new org.apache.hadoop.fs.Path(path, f"part-$pid%05d.xlsx")
+        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val out = fs.create(p, true)
+        try out.write(bytes) finally out.close()
+      }
+    }
+  }
 }

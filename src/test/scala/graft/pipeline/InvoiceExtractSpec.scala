@@ -186,4 +186,49 @@ class InvoiceExtractSpec extends AnyFunSuite {
       .select(col("Grand Total")).limit(5).collect()
     money.foreach(r => assert(r.getString(0).matches("\\d+\\.\\d{2}"), r.toString))
   }
+
+  test("Excel export sink writes valid xlsx with the reference width rule") {
+    val outDir = Files.createTempDirectory("graft_xlsx").toString + "/inv"
+    val invoices = extractedInvoices.limit(20).coalesce(1)
+    InvoiceExtract.writeXlsx(invoices, outDir)
+    val files = new java.io.File(outDir).listFiles()
+      .filter(_.getName.endsWith(".xlsx")).sortBy(_.getName)
+    assert(files.length == 1, files.mkString(", "))
+    val bytes = java.nio.file.Files.readAllBytes(files.head.toPath)
+    // it is a real ZIP with the mandatory OOXML parts
+    val entries = graft.kernel.ZipExplode.entries(bytes).toMap
+    assert(entries.keySet == Set("[Content_Types].xml", "_rels/.rels",
+      "xl/workbook.xml", "xl/_rels/workbook.xml.rels",
+      "xl/worksheets/sheet1.xml"))
+    // every XML part parses with the JDK parser (well-formedness)
+    def dom(name: String) = javax.xml.parsers.DocumentBuilderFactory
+      .newInstance().newDocumentBuilder()
+      .parse(new java.io.ByteArrayInputStream(entries(name)))
+    assert(dom("xl/workbook.xml").getElementsByTagName("sheet")
+      .item(0).getAttributes.getNamedItem("name").getNodeValue == "Invoices")
+    val sheet = dom("xl/worksheets/sheet1.xml")
+    // header row + 20 data rows
+    val rowsN = sheet.getElementsByTagName("row")
+    assert(rowsN.getLength == 21)
+    def rowCells(i: Int): Seq[String] = {
+      val cells = rowsN.item(i).getChildNodes
+      (0 until cells.getLength).map(j => cells.item(j).getTextContent)
+    }
+    assert(rowCells(0) == Seq("Filename", "Invoice Number", "Vendor Name",
+      "Address", "Invoice Date", "Grand Total", "Taxes", "Final Total",
+      "Quantity", "Unit Price", "Total", "Pages"))
+    // data matches the CSV twin row-for-row (same projection)
+    val csvRows = InvoiceExtract.exportProjection(invoices).collect()
+      .map(r => (0 until r.length).map(v =>
+        Option(r.get(v)).map(_.toString).getOrElse("")))
+    (1 to 20).foreach(i => assert(rowCells(i) == csvRows(i - 1),
+      s"row $i mismatch"))
+    // reference width rule: max cell length (header included) + 2
+    val cols = sheet.getElementsByTagName("col")
+    assert(cols.getLength == 12)
+    val width0 = cols.item(0).getAttributes.getNamedItem("width")
+      .getNodeValue.toInt
+    val expected0 = (Seq("Filename") ++ csvRows.map(_(0))).map(_.length).max + 2
+    assert(width0 == expected0)
+  }
 }
