@@ -231,16 +231,18 @@ object DedupOps {
     * closure. Returns (id, cluster) for every vertex, where `cluster`
     * is the component's minimum id — the canonical keeper.
     *
-    * Algorithm: min-label propagation — every vertex repeatedly adopts
-    * the minimum label among itself and its neighbours until fixpoint.
-    * Each round is one join + one groupBy on the vertex key (both
-    * shuffle on high-cardinality ids, AQE-coalesced); rounds = graph
-    * diameter. Near-dup graphs are dense local cliques (diameter 2-4),
-    * so a handful of rounds converge; for adversarial long-chain
-    * graphs the O(log n)-round large-star/small-star variant (Kiveris
-    * et al. 2014) is the documented upgrade path. `localCheckpoint`
-    * per round cuts the otherwise O(rounds)-deep lineage, and the
-    * driver loop submits O(diameter) jobs — never O(rows) work.
+    * Algorithm: min-label propagation WITH POINTER JUMPING — each
+    * round every vertex adopts the minimum label among itself and its
+    * neighbours, then follows its label to THAT vertex's label
+    * (path-halving, the classic PRAM/MapReduce trick — same family as
+    * Kiveris et al. 2014's star operations). Neighbour propagation
+    * alone needs O(diameter) rounds (a 10^6-vertex chain would never
+    * finish); the jump makes label paths halve each round, so
+    * convergence is O(log n) rounds on ANY graph shape. Each round is
+    * two joins + one groupBy on the vertex key (shuffles on
+    * high-cardinality ids, AQE-coalesced); `localCheckpoint` per round
+    * cuts the otherwise O(rounds)-deep lineage, and the driver loop
+    * submits O(log n) jobs — never O(rows) work.
     */
   def connectedComponents(
       pairs: DataFrame, aCol: String, bCol: String,
@@ -256,11 +258,18 @@ object DedupOps {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val next = und
+      val prop = und
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .select(col("dst").as("id"), col("cluster"))
         .unionByName(labels)
         .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
+      // pointer jump: cluster(v) ← cluster(cluster(v)). Every label
+      // value is itself a vertex (it is some vertex's id), so the
+      // self-join always resolves; coalesce guards the left join.
+      val next = prop
+        .join(prop.select(col("id").as("cluster"), col("cluster").as("parent")),
+          Seq("cluster"), "left")
+        .select(col("id"), coalesce(col("parent"), col("cluster")).as("cluster"))
         .localCheckpoint()
       // labels only ever decrease, so fixpoint ⇔ no (id, cluster)
       // changed; the check rides the already-materialized checkpoints

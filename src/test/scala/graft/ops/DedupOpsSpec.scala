@@ -140,6 +140,17 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("connectedComponents converges in O(log n) rounds on a 1000-vertex chain") {
+    // pure neighbour propagation needs 1000 rounds on a path graph and
+    // would blow the 25-round budget; pointer jumping halves label
+    // paths every round (~log2(1000) ≈ 10 rounds)
+    val chain = (0L until 999L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = DedupOps.connectedComponents(chain, "id_a", "id_b")
+      .as[(Long, Long)].collect()
+    assert(got.length == 1000)
+    assert(got.forall(_._2 == 0L), got.filter(_._2 != 0L).take(5).mkString(", "))
+  }
+
   test("minhash pairs cluster into groups with one keeper per component") {
     // chain near-dups so transitivity matters: doc 0 ~ 1000 ~ 2000
     // (1000 and 2000 are near-dups of 0 through different token
