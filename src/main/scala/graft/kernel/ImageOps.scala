@@ -75,6 +75,42 @@ object ImageOps {
     (out, w, h)
   }
 
+  /** Bilinear resize of a row-major gray raster to ow×oh — the
+    * feature-extraction primitive (perceptual hashing downsamples
+    * through it; any thumbnail path would too). Sample coordinates map
+    * pixel centers (the standard half-pixel alignment), clamped at the
+    * border.
+    */
+  def resizeGrayBilinear(
+      gray: Array[Byte], w: Int, h: Int, ow: Int, oh: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && ow > 0 && oh > 0)
+    val out = new Array[Byte](ow * oh)
+    val sx = w.toDouble / ow
+    val sy = h.toDouble / oh
+    var oy = 0
+    while (oy < oh) {
+      val fy = math.max(0.0, (oy + 0.5) * sy - 0.5)
+      val y0 = math.min(fy.toInt, h - 1)
+      val y1 = math.min(y0 + 1, h - 1)
+      val wy = fy - y0
+      var ox = 0
+      while (ox < ow) {
+        val fx = math.max(0.0, (ox + 0.5) * sx - 0.5)
+        val x0 = math.min(fx.toInt, w - 1)
+        val x1 = math.min(x0 + 1, w - 1)
+        val wx = fx - x0
+        val p00 = gray(y0 * w + x0) & 0xff; val p01 = gray(y0 * w + x1) & 0xff
+        val p10 = gray(y1 * w + x0) & 0xff; val p11 = gray(y1 * w + x1) & 0xff
+        val top = p00 + (p01 - p00) * wx
+        val bot = p10 + (p11 - p10) * wx
+        out(oy * ow + ox) = math.round(top + (bot - top) * wy).toByte
+        ox += 1
+      }
+      oy += 1
+    }
+    out
+  }
+
   /** Salt-and-pepper despeckle (denoise stand-in for
     * fastNlMeansDenoising): a pixel whose 8 neighbours all sit on the
     * other side of mid-gray is replaced by the neighbour majority value.
