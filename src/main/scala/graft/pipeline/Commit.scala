@@ -117,6 +117,53 @@ object Commit {
         .parquet(s"$stagedRoot/media"))
   }
 
+  /** A4 — progress % (reference models.py ProcessingStatus.progress ∈
+    * [0,100] + the polling endpoint): task-level progress from a
+    * SparkListener. Attach around a run; `percent` is completed/total
+    * tasks over all submitted stages — the Spark-native equivalent of
+    * the reference's per-file progress callback.
+    */
+  final class TaskProgressListener
+      extends org.apache.spark.scheduler.SparkListener {
+    private val total = new java.util.concurrent.atomic.AtomicLong
+    private val done = new java.util.concurrent.atomic.AtomicLong
+    override def onStageSubmitted(
+        s: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+      total.addAndGet(s.stageInfo.numTasks.toLong)
+    override def onTaskEnd(
+        t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      done.incrementAndGet()
+    def completedTasks: Long = done.get
+    def totalTasks: Long = total.get
+    def percent: Double =
+      if (total.get == 0L) 0.0 else done.get * 100.0 / total.get
+  }
+
+  /** Chunk-granularity progress record, written atomically to
+    * `_manifest/progress.json` after every chunk commit — a resumable
+    * run's poll surface (the reference polls task progress %,
+    * main.py:311-317; here the unit is the chunk, the same grain the
+    * lineage manifests use).
+    */
+  def writeProgress(outDir: String, runId: String, done: Int, total: Int): Unit = {
+    val pct = if (total == 0) 100.0 else done * 100.0 / total
+    val json =
+      s"""{"runId":"$runId","chunksDone":$done,"chunksTotal":$total,""" +
+        f""""percent":$pct%.1f}"""
+    val dir = manifestDir(outDir)
+    val tmp = dir.resolve(".progress.json.tmp")
+    Files.writeString(tmp, json)
+    Files.move(tmp, dir.resolve("progress.json"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def readProgress(outDir: String): Option[Double] = {
+    val p = manifestDir(outDir).resolve("progress.json")
+    if (!Files.exists(p)) None
+    else """"percent":([0-9.]+)""".r.findFirstMatchIn(Files.readString(p))
+      .map(_.group(1).toDouble)
+  }
+
   /** Handle to a bucketed staging layout (see [[stageBucketed]]). */
   final case class BucketedStage(
       tasksTable: String,
@@ -218,6 +265,7 @@ object Commit {
       stageByChunk(spark, docs, media, outDir, chunks)
     val committed = scala.collection.mutable.ArrayBuffer.empty[ChunkManifest]
     var done = 0
+    writeProgress(outDir, runId, already.size, chunks)
     (0 until chunks).foreach { k =>
       if (already.contains(k)) ()
       else {
@@ -243,6 +291,7 @@ object Commit {
         writeManifest(outDir, m)
         committed += m
         done += 1
+        writeProgress(outDir, runId, already.size + done, chunks)
       }
     }
     RunSummary(committed.toSeq, already.keys.toSeq.sorted)

@@ -56,6 +56,8 @@ class PipelineSpec extends AnyFunSuite {
     }
     val partial = Commit.committedChunks(outDir)
     assert(partial.size == 2)
+    // A4: the poll surface reflects the partial state (2 of 4 chunks)
+    assert(Commit.readProgress(outDir).contains(50.0))
     // resume: only the remaining chunks run
     val summary = Commit.run(spark, docs, media, outDir, "run-test-2",
       chunks = 4, partitions = 8)
@@ -74,6 +76,23 @@ class PipelineSpec extends AnyFunSuite {
     val again = Commit.run(spark, docs, media, outDir, "run-test-3",
       chunks = 4, partitions = 8)
     assert(again.committed.isEmpty && again.skipped.size == 4)
+    assert(Commit.readProgress(outDir).contains(100.0))
+  }
+
+  test("task-level progress listener reaches 100% when the job completes") {
+    val listener = new Commit.TaskProgressListener
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      ExtractionPipeline.extract(docs, media, partitions = 8).count()
+      // listener events post asynchronously; poll until drained
+      val deadline = System.currentTimeMillis + 30000
+      while (System.currentTimeMillis < deadline &&
+        (listener.totalTasks == 0 || listener.percent < 100.0))
+        Thread.sleep(100)
+      assert(listener.totalTasks > 0)
+      assert(listener.percent == 100.0,
+        s"${listener.completedTasks}/${listener.totalTasks}")
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   test("partial or stale staging is rebuilt, never trusted (completion sentinel)") {
