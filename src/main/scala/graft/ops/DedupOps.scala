@@ -284,6 +284,21 @@ object DedupOps {
     labels
   }
 
+  /** End of the dedup story: drop every non-keeper of each near-dup
+    * group. Keeper = the component's minimum id (the label
+    * [[connectedComponents]] assigns), so exactly one row per group
+    * survives; rows in no pair are untouched. Compose as:
+    * exact dedup (q18) → `minhashLshPairs` → `dropNearDups`.
+    */
+  def dropNearDups(
+      df: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val losers = connectedComponents(pairs, aCol, bCol)
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id"))
+    df.join(losers, df(idCol) === losers("id"), "left_anti")
+  }
+
   /** 64-bit SimHash over whitespace tokens: per-bit ±1 votes folded with
     * HOFs, packed as the sign vector. Per-row, zero shuffle.
     * `neutral = true` swaps xxhash64 for the md5-derived hash (60

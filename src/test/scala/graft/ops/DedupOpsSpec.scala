@@ -172,6 +172,33 @@ class DedupOpsSpec extends AnyFunSuite {
     (1 until 5).foreach(i => assert(clusters(i + 1000L) == i.toLong))
   }
 
+  test("pairsWithin emits exactly the i<j pairs of any sorted array (property)") {
+    val prng = new scala.util.Random(5)
+    (0 until 20).foreach { _ =>
+      val n = prng.nextInt(8)
+      val ids = Seq.fill(n)(prng.nextInt(1000).toLong).distinct.sorted
+      val got = Seq(Tuple1(ids)).toDF("ids")
+        .select(explode(DedupOps.pairsWithin(col("ids"))).as("p"))
+        .select(col("p.id_a"), col("p.id_b"))
+        .as[(Long, Long)].collect().toSet
+      val expected = (for {
+        i <- ids.indices; j <- (i + 1) until ids.length
+      } yield (ids(i), ids(j))).toSet
+      assert(got == expected, s"ids=$ids")
+    }
+  }
+
+  test("dropNearDups keeps exactly one row per near-dup group") {
+    val corpus2 = (baseDocs ++ nearDups).toDF("doc_id", "text")
+    val pairs = DedupOps.minhashLshPairs(corpus2, "doc_id", "text",
+      k = 32, bands = 8, thresholdX1M = 800000L)
+    val kept = DedupOps.dropNearDups(corpus2, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    // the five planted dups (1000-1004) drop; their keepers (0-4) and
+    // every unpaired doc survive
+    assert(kept == (0L until 40L).toSet)
+  }
+
   test("lshTopK (default splitmix hyperplanes) surfaces a planted near-identical vector") {
     val vrng = new scala.util.Random(7)
     def randVec(): Array[Float] =

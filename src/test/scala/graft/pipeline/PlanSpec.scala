@@ -163,6 +163,20 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("unregistered ops (image near-dup, CC rounds) are also nested-loop/cartesian free") {
+    // the suite-wide guard covers SparkEntry.queries; these operators
+    // live outside the registry but must obey the same 100-TB rule
+    val hashes = spark.range(64).selectExpr("cast(id as string) media_ref",
+      "id * 1099511628211L dhash")
+    val p1 = plan(graft.ops.MediaOps.imageNearDupPairs(hashes, maxHamming = 6))
+    assert(!p1.contains("CartesianProduct") &&
+      !p1.contains("BroadcastNestedLoopJoin"), p1.take(3000))
+    val edges = spark.range(30).selectExpr("id id_a", "id + 1 id_b")
+    // one propagation round's shape (the loop repeats it)
+    val labels = graft.ops.DedupOps.connectedComponents(edges, "id_a", "id_b")
+    assert(labels.count() == 31)
+  }
+
   test("resume anti-join prunes committed chunks at the scan") {
     val docs = spark.read.parquet(s"$dir/docs")
     val chunkFilter = docs.filter(
