@@ -371,8 +371,19 @@ object Commit {
     val dir = manifestDir(outDir)
     val tmp = dir.resolve(s".chunk-${m.chunk}.json.tmp")
     Files.writeString(tmp, json)
-    Files.move(tmp, dir.resolve(s"chunk-${m.chunk}.json"),
+    // Single-writer is the contract (as in Iceberg, where optimistic
+    // manifest locking enforces it); if a concurrent run races us to
+    // the same chunk anyway, losing the rename is NON-FATAL — the
+    // winner committed the same deterministic output, so discard our
+    // tmp record instead of dying after the data write. (The data-dir
+    // write itself is not multi-writer-safe: don't run two
+    // uncoordinated writers against one outDir.)
+    try Files.move(tmp, dir.resolve(s"chunk-${m.chunk}.json"),
       StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+    }
   }
 
   private val manifestPattern =
