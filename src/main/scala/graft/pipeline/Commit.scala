@@ -25,6 +25,12 @@ import org.apache.spark.sql.functions._
   */
 object Commit {
 
+  /** Per-chunk lineage record (north rule: source snapshot, partition
+    * id, row counts, span-mismatch counters). `mismatchCount` is the
+    * number of output docs whose span sequence differs from the
+    * `expected` table passed to [[run]] — 0 when no expectation is
+    * supplied (the production case; goldens exist in validation runs).
+    */
   final case class ChunkManifest(
       runId: String,
       chunk: Int,
@@ -32,7 +38,8 @@ object Commit {
       rowCount: Long,
       spanCount: Long,
       errorCount: Long,
-      wallMillis: Long)
+      wallMillis: Long,
+      mismatchCount: Long = 0L)
 
   final case class RunSummary(
       committed: Seq[ChunkManifest],
@@ -256,7 +263,8 @@ object Commit {
       runId: String,
       chunks: Int = 4,
       partitions: Int = 32,
-      failAfterChunks: Int = Int.MaxValue): RunSummary = {
+      failAfterChunks: Int = Int.MaxValue,
+      expected: Option[DataFrame] = None): RunSummary = {
     require(chunks > 0)
     Files.createDirectories(manifestDir(outDir))
     val sourceSnapshot = snapshotId(docs)
@@ -285,9 +293,18 @@ object Commit {
           coalesce(sum(size(col("spans"))), lit(0L)).as("spans"),
           coalesce(sum(size(filter(col("spans"), s => s("kind") === lit("error")))),
             lit(0L)).as("errors")).head()
+        // span-mismatch counter (north rule lineage field): committed
+        // docs whose span sequence differs from the expectation —
+        // only the chunk's own rows join, so the check is pruned too
+        val mismatches = expected.map { g =>
+          written.select(col("doc_id"), col("spans").as("a"))
+            .join(g.select(col("doc_id"), col("spans").as("b")),
+              Seq("doc_id"), "left")
+            .where(not(col("a") <=> col("b"))).count()
+        }.getOrElse(0L)
         val m = ChunkManifest(runId, k, sourceSnapshot,
           stats.getLong(0), stats.getLong(1), stats.getLong(2),
-          (System.nanoTime() - t0) / 1000000L)
+          (System.nanoTime() - t0) / 1000000L, mismatches)
         writeManifest(outDir, m)
         committed += m
         done += 1
@@ -339,12 +356,13 @@ object Commit {
       rowCount = all.map(_.rowCount).sum,
       spanCount = all.map(_.spanCount).sum,
       errorCount = all.map(_.errorCount).sum,
-      wallMillis = all.map(_.wallMillis).sum)
+      wallMillis = all.map(_.wallMillis).sum,
+      mismatchCount = all.map(_.mismatchCount).sum)
     val json =
       s"""{"runId":"${total.runId}","chunks":${all.length},""" +
         s""""sourceSnapshot":"${total.sourceSnapshot}","rowCount":${total.rowCount},""" +
         s""""spanCount":${total.spanCount},"errorCount":${total.errorCount},""" +
-        s""""wallMillis":${total.wallMillis}}"""
+        s""""mismatchCount":${total.mismatchCount},"wallMillis":${total.wallMillis}}"""
     val tmp = manifestDir(outDir).resolve(".snapshot.json.tmp")
     Files.writeString(tmp, json)
     Files.move(tmp, manifestDir(outDir).resolve("snapshot.json"),
@@ -367,7 +385,8 @@ object Commit {
     val json =
       s"""{"runId":"${m.runId}","chunk":${m.chunk},"sourceSnapshot":"${m.sourceSnapshot}",""" +
         s""""rowCount":${m.rowCount},"spanCount":${m.spanCount},""" +
-        s""""errorCount":${m.errorCount},"wallMillis":${m.wallMillis}}"""
+        s""""errorCount":${m.errorCount},"mismatchCount":${m.mismatchCount},""" +
+        s""""wallMillis":${m.wallMillis}}"""
     val dir = manifestDir(outDir)
     val tmp = dir.resolve(s".chunk-${m.chunk}.json.tmp")
     Files.writeString(tmp, json)
@@ -386,15 +405,18 @@ object Commit {
     }
   }
 
+  // mismatchCount group optional: manifests written before round 4
+  // lack the field and must keep parsing (read as 0)
   private val manifestPattern =
     ("""\{"runId":"([^"]*)","chunk":(\d+),"sourceSnapshot":"([^"]*)",""" +
       """"rowCount":(\d+),"spanCount":(\d+),"errorCount":(\d+),""" +
-      """"wallMillis":(\d+)\}""").r
+      """(?:"mismatchCount":(\d+),)?"wallMillis":(\d+)\}""").r
 
   def parseManifest(json: String): Option[ChunkManifest] = json.trim match {
-    case manifestPattern(runId, chunk, snap, rows, spans, errs, wall) =>
+    case manifestPattern(runId, chunk, snap, rows, spans, errs, mism, wall) =>
       Some(ChunkManifest(runId, chunk.toInt, snap, rows.toLong, spans.toLong,
-        errs.toLong, wall.toLong))
+        errs.toLong, wall.toLong,
+        Option(mism).map(_.toLong).getOrElse(0L)))
     case _ => None
   }
 }

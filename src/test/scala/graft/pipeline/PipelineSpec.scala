@@ -79,6 +79,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(Commit.readProgress(outDir).contains(100.0))
   }
 
+  test("span-mismatch counters land in the lineage manifests (north-rule field)") {
+    // clean expectation → zero everywhere; a corrupted expectation →
+    // exactly the corrupted doc counts as a mismatch, in its chunk
+    val cleanDir = Files.createTempDirectory("graft_mm0").toString
+    val clean = Commit.run(spark, docs, media, cleanDir, "mm-0",
+      chunks = 2, partitions = 8, expected = Some(golden))
+    assert(clean.committed.map(_.mismatchCount).sum == 0L)
+    val oneId = golden.select("doc_id").orderBy("doc_id")
+      .limit(1).collect()(0).getString(0)
+    val corrupted = golden.withColumn("spans",
+      when(col("doc_id") === oneId,
+        expr("array(named_struct('kind', 'text', 'text', 'WRONG', " +
+          "'media_ref', '', 'offset', 0))"))
+        .otherwise(col("spans")))
+    val badDir = Files.createTempDirectory("graft_mm1").toString
+    val bad = Commit.run(spark, docs, media, badDir, "mm-1",
+      chunks = 2, partitions = 8, expected = Some(corrupted))
+    assert(bad.committed.map(_.mismatchCount).sum == 1L)
+    // the counter round-trips through the on-disk manifest and compact
+    assert(Commit.committedChunks(badDir).values.map(_.mismatchCount).sum == 1L)
+    assert(Commit.compact(badDir).mismatchCount == 1L)
+  }
+
   test("task-level progress listener reaches 100% when the job completes") {
     val listener = new Commit.TaskProgressListener
     spark.sparkContext.addSparkListener(listener)
