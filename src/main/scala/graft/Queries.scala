@@ -425,6 +425,44 @@ object Queries {
       DedupOps.connectedComponents(
           chain.unionByName(skip), "id_a", "id_b")
         .select(col("id").as("doc_id"), col("cluster"))
+    }),
+
+    // B4/A5 error-span lineage — the driver-visible twin of the sbt
+    // poison tests. A corpus synthesized from `part` plants one error
+    // of each class the kernel emits, one class per branch of the
+    // extract dataflow: unsupported span kind (inline branch), missing
+    // media payload (anti-join branch), undecodable image (media-join
+    // branch, payload whose leading 0x00 defeats every magic so decode
+    // deterministically fails). Healthy text spans ride along in two
+    // of the classes to prove errors don't leak onto good spans.
+    // Output: per-doc error count + '|'-joined sorted messages,
+    // message-exact against the oracle's restatement of the rule.
+    "q31_error_spans" -> ((s, dir) => {
+      val part = t(s, dir, "part")
+      val k = col("p_partkey").cast("string")
+      val m = col("p_partkey") % 4
+      def sp(off: Int, kind: String, text: Column, ref: Column) =
+        struct(lit(off).as("offset"), lit(kind).as("kind"),
+          text.as("text"), ref.as("media_ref"))
+      val pdfRef = concat(lit("m"), k, lit(".pdf"))
+      val pngRef = concat(lit("m"), k, lit(".png"))
+      val docs = part.select(
+        concat(lit("doc_"), k).as("doc_id"),
+        when(m === 0, array(sp(0, "text", lit("hello"), lit(""))))
+          .when(m === 1, array(sp(0, "wav", lit(""), lit("")),
+            sp(1, "pdf", lit(""), pdfRef)))
+          .when(m === 2, array(sp(0, "pdf", lit(""), pdfRef)))
+          .otherwise(array(sp(0, "png", lit(""), pngRef),
+            sp(1, "text", lit("tail"), lit(""))))
+          .as("spans"))
+      val media = part.filter(m === 3).select(
+        pngRef.as("media_ref"),
+        unhex(concat(lit("00"), md5(k))).as("bytes"))
+      val subs = pipeline.ExtractionPipeline.extractSubs(docs, media, partitions = 8)
+      pipeline.ExtractionPipeline.errors(subs)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_errors"),
+          array_join(array_sort(collect_list(col("error"))), "|").as("errs"))
     })
   )
 
@@ -780,6 +818,19 @@ object Queries {
                    UNION
                    SELECT r.src, e.b AS dst FROM reach r JOIN e ON r.dst = e.a)
          SELECT src AS doc_id, least(src, min(dst)) AS cluster
-         FROM reach GROUP BY src"""
+         FROM reach GROUP BY src""",
+
+    // Error-span twin: restates the planting rule. Message strings must
+    // match the kernel's byte-for-byte (SpanKernel err sites); the
+    // '|' join order is the lexicographic sort ('missing…' < 'unsupported…').
+    "q31_error_spans" ->
+      """SELECT 'doc_' || p_partkey AS doc_id,
+                CAST(CASE WHEN p_partkey % 4 = 1 THEN 2 ELSE 1 END AS BIGINT) AS n_errors,
+                CASE p_partkey % 4
+                  WHEN 1 THEN 'missing media payload for m' || p_partkey || '.pdf|unsupported span kind: wav'
+                  WHEN 2 THEN 'missing media payload for m' || p_partkey || '.pdf'
+                  ELSE 'undecodable image: m' || p_partkey || '.png'
+                END AS errs
+         FROM part WHERE p_partkey % 4 <> 0"""
   )
 }

@@ -86,6 +86,19 @@ object ExtractionPipeline {
       docs: DataFrame,
       media: DataFrame,
       partitions: Int = 32,
+      asOf: LocalDate = DateExtract.DefaultAsOf): DataFrame =
+    reassemble(extractSubs(docs, media, partitions, asOf))
+
+  /** The kernel's raw sub-span stream, pre-reassembly — same dataflow
+    * as [[extract]] (which is just `reassemble` over this), exposed so
+    * the error-span lineage surface ([[errors]], B4/A5) can be queried
+    * without a second run: reassembly keeps error spans' kind but
+    * drops their message column, so auditing messages needs this frame.
+    */
+  def extractSubs(
+      docs: DataFrame,
+      media: DataFrame,
+      partitions: Int = 32,
       asOf: LocalDate = DateExtract.DefaultAsOf): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -184,7 +197,7 @@ object ExtractionPipeline {
     val inlineSubs = salted.select(taskCols.map(col): _*).as[SpanTask]
       .mapPartitions(_.flatMap(t => SpanKernel.process(t, asOf)))
 
-    reassemble(mediaSubs.toDF().unionByName(inlineSubs.toDF()))
+    mediaSubs.toDF().unionByName(inlineSubs.toDF())
   }
 
   /** The 10^12-doc media join: both sides of `Commit.stageBucketed`'s

@@ -341,4 +341,28 @@ class PipelineSpec extends AnyFunSuite {
       .as[String].collect().toSeq
     assert(kinds == Seq("error"))
   }
+
+  test("errors() surfaces message-exact spans for each kernel error class") {
+    import spark.implicits._
+    val docs = Seq(
+      graft.model.Doc("e-wav", Seq(graft.model.Span("wav", "", "", 0))),
+      graft.model.Doc("e-miss", Seq(graft.model.Span("pdf", "", "m/gone.pdf", 0))),
+      graft.model.Doc("e-img", Seq(
+        graft.model.Span("png", "", "m/garbage.png", 0),
+        graft.model.Span("text", "ok", "", 1))),
+      graft.model.Doc("clean", Seq(graft.model.Span("text", "fine", "", 0))))
+    // leading 0x00 defeats every magic → sniff Unknown → ext says png →
+    // decoder rejects it deterministically
+    val media = Seq(graft.model.MediaBlob("m/garbage.png",
+      Array[Byte](0, 11, 22, 33, 44, 55)))
+    val errs = ExtractionPipeline.errors(ExtractionPipeline.extractSubs(
+        spark.createDataset(docs).toDF(), spark.createDataset(media).toDF(),
+        partitions = 2))
+      .select(col("doc_id"), col("error")).as[(String, String)]
+      .collect().toMap
+    assert(errs == Map(
+      "e-wav" -> "unsupported span kind: wav",
+      "e-miss" -> "missing media payload for m/gone.pdf",
+      "e-img" -> "undecodable image: m/garbage.png"))
+  }
 }
