@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.exprs.{InvoiceExprs => IE, ValidationExprs => VE}
-import graft.ops.{DedupOps, SimilarityOps, TextOps}
+import graft.ops.{DedupOps, MediaOps, SimilarityOps, TextOps}
 
 /** The driver-contract operator queries (SURVEY.md §5.5): each entry is
   * one implemented operator exercised over the read-only
@@ -463,6 +463,59 @@ object Queries {
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_errors"),
           array_join(array_sort(collect_list(col("error"))), "|").as("errs"))
+    }),
+
+    // Image near-dup dedup, END-TO-END oracle-checked (round-5 task 1;
+    // q31's planted-rule pattern): per documents key a real 9×8 PNG is
+    // synthesized whose dHash is EXACTLY the engine-neutral md5-derived
+    // value H(k) (MediaOps.hashRaster is the dHash inverse at native
+    // resolution, PNG is lossless); every k%3==0 key gets a twin image
+    // whose planted hash flips bit (k%60) — hamming 1, caught
+    // DETERMINISTICALLY by the 8-band default; every k%7==0 key gets
+    // an undecodable payload that must surface as a NULL hash and
+    // appear in NO pair. The query exercises the REAL dataflow —
+    // bytes → mapPartitions decode (imageDHashes) → banded candidates
+    // → hamming verify (imageNearDupPairs) — while the DuckDB oracle
+    // recomputes H(k) from the formula and replays the band/hamming
+    // lattice in SQL, like q24/q26.
+    "q32_image_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val keys = t(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 200).as[Long]
+      val images = keys.mapPartitions(_.flatMap { k =>
+        val h = DedupOps.md5Hash64Scala(s"img:$k")
+        val base = Iterator((s"img_$k",
+          graft.kernel.GlyphFont.toPng(MediaOps.hashRaster(h), 9, 8)))
+        val twin =
+          if (k % 3 == 0) Iterator((s"img_${k}_b",
+            graft.kernel.GlyphFont.toPng(
+              MediaOps.hashRaster(h ^ (1L << (k % 60).toInt)), 9, 8)))
+          else Iterator.empty
+        val poison = // leading 0x00 defeats every magic → NULL dhash
+          if (k % 7 == 0) Iterator((s"img_${k}_x", Array[Byte](0, 1, 2, 3)))
+          else Iterator.empty
+        base ++ twin ++ poison
+      }).toDF("media_ref", "bytes")
+      MediaOps.imageNearDupPairs(MediaOps.imageDHashes(images),
+        maxHamming = 6, bandBits = 8, maxBucket = 1000)
+    }),
+
+    // End of the dedup story under ONE oracle (round-5 stretch task):
+    // the q24 planted corpus (200 docs + exact twins at +1e6) through
+    // exact-candidate LSH pairs → connected components → anti-join
+    // (dropNearDups) — survivors only. The oracle replays the full
+    // q24 lattice AND the recursive-CTE closure, proving the one-call
+    // composition end-to-end the way q30 proved its middle.
+    "q33_drop_neardups" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .filter(col("doc_id") < 200)
+      val planted = d.unionByName(
+        d.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      val pairs = DedupOps.minhashLshPairs(planted, "doc_id", "text",
+        k = 32, bands = 8, thresholdX1M = 900000L, neutral = true,
+        maxBucket = 1000)
+      DedupOps.dropNearDups(planted, "doc_id", pairs)
+        .select(col("doc_id"))
     })
   )
 
@@ -831,6 +884,75 @@ object Queries {
                   WHEN 2 THEN 'missing media payload for m' || p_partkey || '.pdf'
                   ELSE 'undecodable image: m' || p_partkey || '.png'
                 END AS errs
-         FROM part WHERE p_partkey % 4 <> 0"""
+         FROM part WHERE p_partkey % 4 <> 0""",
+
+    // Image-dedup twin: the planted dHash H(k) is recomputed from the
+    // md5 formula (hashRaster/PNG/decode are exact inverses, so the
+    // engine's decoded hashes ARE these values); twins flip bit k%60;
+    // undecodable payloads are simply absent (NULL hashes enter no
+    // pair). Bands = 8-bit slices with the 2..1000 population guard,
+    // then distinct candidate pairs hamming-verified ≤ 6 — the exact
+    // MediaOps.imageNearDupPairs lattice.
+    "q32_image_neardup" ->
+      """WITH k AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+         h0 AS (
+           SELECT 'img_' || CAST(doc_id AS VARCHAR) AS id,
+                  CAST('0x' || substr(md5('img:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS dhash
+           FROM k
+           UNION ALL
+           SELECT 'img_' || CAST(doc_id AS VARCHAR) || '_b',
+                  xor(CAST('0x' || substr(md5('img:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT),
+                      CAST(1 AS BIGINT) << CAST(doc_id % 60 AS INTEGER))
+           FROM k WHERE doc_id % 3 = 0),
+         bands AS (
+           SELECT id, b, (dhash >> (b * 8)) & 255 AS bucket
+           FROM h0, range(0, 8) r(b)
+           QUALIFY count(*) OVER (PARTITION BY b, bucket) BETWEEN 2 AND 1000),
+         pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                   FROM bands a JOIN bands b ON a.b = b.b AND a.bucket = b.bucket AND a.id < b.id)
+         SELECT id_a, id_b, CAST(bit_count(xor(ha.dhash, hb.dhash)) AS INTEGER) AS hamming
+         FROM pairs JOIN h0 ha ON ha.id = id_a JOIN h0 hb ON hb.id = id_b
+         WHERE bit_count(xor(ha.dhash, hb.dhash)) <= 6""",
+
+    // dropNearDups twin: the full q24 MinHash+LSH lattice produces the
+    // verified pair set, a recursive-CTE transitive closure labels the
+    // components (q30's oracle shape), and survivors are everything
+    // except non-minimum component members.
+    "q33_drop_neardups" ->
+      """WITH RECURSIVE
+         base AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+         p AS (SELECT doc_id, text FROM base UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM base),
+         tok AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM p),
+         sh AS (SELECT doc_id, text,
+           CASE WHEN len(toks) >= 3
+             THEN list_distinct([concat_ws(' ', toks[i], toks[i+1], toks[i+2]) FOR i IN range(1, len(toks) - 1)])
+             ELSE [array_to_string(toks, ' ')] END AS shingles FROM tok),
+         hs AS (SELECT doc_id, list_transform(shingles, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS hs FROM sh),
+         sig AS (SELECT doc_id,
+           [list_min([xor((h >> seed) | ((h & ((CAST(1 AS BIGINT) << seed) - 1)) << (60 - seed)),
+                          CAST('0x' || substr(md5('seed:' || CAST(seed AS VARCHAR)), 1, 15) AS BIGINT))
+             FOR h IN hs]) FOR seed IN range(0, 32)] AS sig
+           FROM hs),
+         bands AS (SELECT doc_id, b,
+           md5(array_to_string(list_transform(list_slice(sig, b*4+1, b*4+4), x -> CAST(x AS VARCHAR)), ',')) AS bucket
+           FROM sig, range(0, 8) r(b)
+           QUALIFY count(*) OVER (PARTITION BY b, bucket) <= 1000),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM bands a JOIN bands b ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         ng AS (SELECT doc_id, list_distinct([substr(text, i, 3) FOR i IN range(1, greatest(length(text) - 1, 1))]) AS g FROM p),
+         prs AS (SELECT id_a, id_b FROM (
+             SELECT id_a, id_b,
+               CASE WHEN (len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g))) > 0
+                 THEN CAST(FLOOR(len(list_intersect(ga.g, gb.g)) * 1000000 / (len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g)))) AS BIGINT)
+                 ELSE 1000000 END AS jaccard_x1m
+             FROM cand JOIN ng ga ON ga.doc_id = id_a JOIN ng gb ON gb.doc_id = id_b)
+           WHERE jaccard_x1m >= 900000),
+         e AS (SELECT id_a AS a, id_b AS b FROM prs UNION SELECT id_b AS a, id_a AS b FROM prs),
+         reach AS (SELECT a AS src, b AS dst FROM e
+                   UNION
+                   SELECT r.src, e.b AS dst FROM reach r JOIN e ON r.dst = e.a),
+         lab AS (SELECT src AS id, least(src, min(dst)) AS cluster FROM reach GROUP BY src)
+         SELECT doc_id FROM p
+         WHERE doc_id NOT IN (SELECT id FROM lab WHERE cluster <> id)"""
   )
 }

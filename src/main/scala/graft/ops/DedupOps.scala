@@ -114,9 +114,13 @@ object DedupOps {
   }
 
   /** All ordered pairs (id_a < id_b) within one SORTED id array, as
-    * array<struct<id_a, id_b>> — in-place candidate generation for a
-    * bucket whose population the guard has already bounded. Pure HOF:
-    * for element i, pair it with every later element.
+    * array<struct<id_a, id_b>> — in-place candidate generation for ONE
+    * row. ROW-SIZE ENVELOPE: n ids materialize n·(n-1)/2 structs in
+    * this single row's buffer, so callers must bound n — the pipeline
+    * operators go through [[boundedSelfPairs]], which sub-splits
+    * guard-sized buckets to keep every row under subSize²/2 structs
+    * (round-4 verdict: a maxBucket=1000 bucket built ~499,500 structs
+    * in one aggregation row).
     */
   def pairsWithin(sortedIds: Column): Column =
     flatten(zip_with(sortedIds,
@@ -124,6 +128,105 @@ object DedupOps {
       (x, i) => transform(
         slice(sortedIds, i + 1, greatest(size(sortedIds) - i, lit(0))),
         y => struct(x.as("id_a"), y.as("id_b")))))
+
+  /** Default sub-bucket width for row-bounded pair generation: a
+    * sub-bucket pair row holds at most 64² = 4,096 pair structs
+    * (vs ~500k for a cap-sized bucket in one row) — small enough for
+    * any task row buffer, large enough that a cap-sized bucket only
+    * explodes into ceil(1000/64)² ≈ 136 rows.
+    */
+  val PairSubBucket = 64
+
+  /** All (x, y) cross pairs of two id slices; `ordered = true` when
+    * every element of `as` precedes every element of `bs` (adjacent
+    * slices of one sorted array), else least/greatest orders each pair.
+    * Inputs must be plain attributes (interpreted HOFs re-evaluate
+    * computed subtrees per element).
+    */
+  private def crossPairs(as: Column, bs: Column, ordered: Boolean): Column =
+    flatten(transform(as, x => transform(bs, y =>
+      if (ordered) struct(x.as("id_a"), y.as("id_b"))
+      else struct(least(x, y).as("id_a"), greatest(x, y).as("id_b")))))
+
+  /** Pre-explode shape of [[boundedSelfPairs]]: one row per
+    * (sub-bucket i ≤ sub-bucket j) with that cell's pair array —
+    * exposed package-private so the row-size envelope is testable
+    * (max array size ≤ subSize² by construction).
+    */
+  private[graft] def boundedSelfPairSlices(
+      buckets: DataFrame, idsCol: String, subSize: Int): DataFrame = {
+    require(subSize >= 2)
+    val m = greatest(ceil(size(col(idsCol)) / lit(subSize)), lit(1))
+      .cast("int")
+    buckets
+      .select(col(idsCol).as("ids"), m.as("m"))
+      .select(col("ids"),
+        explode(flatten(transform(sequence(lit(0), col("m") - 1), i =>
+          transform(sequence(i, col("m") - 1), j =>
+            struct(i.as("i"), j.as("j")))))).as("ij"))
+      .select(
+        slice(col("ids"), col("ij.i") * subSize + 1, lit(subSize)).as("a"),
+        slice(col("ids"), col("ij.j") * subSize + 1, lit(subSize)).as("b"),
+        (col("ij.i") === col("ij.j")).as("same"))
+      .select(when(col("same"), pairsWithin(col("a")))
+        // adjacent slices of one SORTED array: all of a < all of b
+        .otherwise(crossPairs(col("a"), col("b"), ordered = true))
+        .as("pairs"))
+  }
+
+  /** Row-bounded in-bucket pair generation (round-5 fix for the
+    * single-row pair bomb): `buckets` holds one SORTED id array per
+    * bucket (the guard has bounded its length ≤ maxBucket); instead of
+    * materializing all ~maxBucket²/2 pair structs in ONE row, the
+    * array is viewed as ceil(n/subSize) sub-slices and each
+    * (slice i ≤ slice j) cell becomes its own row — within-slice pairs
+    * via [[pairsWithin]], cross-slice pairs via an ordered cross — so
+    * no row ever holds more than subSize² structs. The pair SET is
+    * identical to `explode(pairsWithin(ids))`
+    * (DedupOpsSpec cross-checks). Returns (id_a, id_b).
+    */
+  def boundedSelfPairs(
+      buckets: DataFrame, idsCol: String,
+      subSize: Int = PairSubBucket): DataFrame =
+    boundedSelfPairSlices(buckets, idsCol, subSize)
+      .select(explode(col("pairs")).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+
+  /** Pre-explode shape of [[boundedCrossPairs]] — see
+    * [[boundedSelfPairSlices]]. */
+  private[graft] def boundedCrossPairSlices(
+      df: DataFrame, aCol: String, bCol: String, subSize: Int): DataFrame = {
+    require(subSize >= 2)
+    def m(c: String) =
+      greatest(ceil(size(col(c)) / lit(subSize)), lit(1)).cast("int")
+    df
+      .select(col(aCol).as("as_"), col(bCol).as("bs_"),
+        m(aCol).as("ma"), m(bCol).as("mb"))
+      .select(col("as_"), col("bs_"),
+        explode(flatten(transform(sequence(lit(0), col("ma") - 1), i =>
+          transform(sequence(lit(0), col("mb") - 1), j =>
+            struct(i.as("i"), j.as("j")))))).as("ij"))
+      .select(
+        slice(col("as_"), col("ij.i") * subSize + 1, lit(subSize)).as("a"),
+        slice(col("bs_"), col("ij.j") * subSize + 1, lit(subSize)).as("b"))
+      // arrays from two DIFFERENT buckets: no global order between
+      // them, least/greatest orders each pair
+      .select(crossPairs(col("a"), col("b"), ordered = false).as("pairs"))
+  }
+
+  /** Row-bounded cross-bucket pair generation: `df` carries two
+    * DISJOINT sorted id arrays per row (two buckets related by e.g. a
+    * 1-bit signature flip, each ≤ maxBucket long — up to maxBucket²
+    * structs if crossed in one row); each (slice_a i, slice_b j) cell
+    * becomes its own row of ≤ subSize² pair structs, ordered
+    * id_a < id_b via least/greatest. Returns (id_a, id_b).
+    */
+  def boundedCrossPairs(
+      df: DataFrame, aCol: String, bCol: String,
+      subSize: Int = PairSubBucket): DataFrame =
+    boundedCrossPairSlices(df, aCol, bCol, subSize)
+      .select(explode(col("pairs")).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
 
   /** LSH band buckets: the k-long signature split into `bands` groups
     * whose hashes become join keys; near-dups collide in ≥1 band whp.
@@ -188,14 +291,16 @@ object DedupOps {
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n").between(2, maxBucket))
       .select(col("bb"))
-    // sort INSIDE the agg projection: pairsWithin references its input
-    // inside HOF lambdas, and interpreted HOFs re-evaluate computed
-    // subtrees per element — the input must be a plain attribute
-    val pairs = allBands.join(smallBuckets, Seq("bb"))
-      .groupBy(col("bb"))
-      .agg(array_sort(collect_set(col("id"))).as("ids"))
-      .select(explode(pairsWithin(col("ids"))).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
+    // sort INSIDE the agg projection: the pair HOFs reference their
+    // input inside lambdas, and interpreted HOFs re-evaluate computed
+    // subtrees per element — the input must be a plain attribute.
+    // boundedSelfPairs (round 5) keeps every generated row under
+    // subSize² structs instead of one ~maxBucket²/2-struct row.
+    val pairs = boundedSelfPairs(
+      allBands.join(smallBuckets, Seq("bb"))
+        .groupBy(col("bb"))
+        .agg(array_sort(collect_set(col("id"))).as("ids")),
+      "ids")
       .distinct()
     val texts = withSig.select(col("id"), col("text"))
     pairs

@@ -48,6 +48,33 @@ object MediaOps {
     Some(hash)
   }
 
+  /** 9×8 gray raster whose [[dHash64]] is EXACTLY `hash` — the
+    * dHash inverse at native resolution (the 9×8→9×8 bilinear resize
+    * is the identity map): each row starts at gray 100 and steps +1
+    * where the corresponding hash bit is 1 (strictly greater → bit 1)
+    * and −1 where it is 0 (not greater → bit 0); values stay in
+    * [92, 108]. Encoded losslessly (PNG), the planted hash survives
+    * decode bit-for-bit, making the whole dHash → band → hamming
+    * lattice oracle-checkable from the hash formula alone (q32 —
+    * the planted-rule pattern of q31).
+    */
+  def hashRaster(hash: Long): Array[Byte] = {
+    val px = new Array[Byte](9 * 8)
+    var y = 0
+    while (y < 8) {
+      var v = 100
+      px(y * 9) = v.toByte
+      var x = 0
+      while (x < 8) {
+        v += (if (((hash >>> (y * 8 + x)) & 1L) == 1L) 1 else -1)
+        px(y * 9 + x + 1) = v.toByte
+        x += 1
+      }
+      y += 1
+    }
+    px
+  }
+
   /** media(media_ref, bytes) → (media_ref, dhash:long nullable).
     * Typed mapPartitions: the only stage touching bytes; undecodable
     * payloads yield NULL (surfaced, not dropped — count them for
@@ -65,19 +92,26 @@ object MediaOps {
   /** Near-duplicate image pairs from a (media_ref, dhash) frame:
     * candidates collide on a `bandBits`-bit slice of the hash (an
     * image pair within hamming distance d shares ≥1 of the 64/bandBits
-    * bands whenever d < 64/bandBits), verified by full hamming ≤
-    * `maxHamming`. The guarded in-bucket pair generation is
-    * [[DedupOps.pairsWithin]]'s — count filter first, collect bounded,
-    * pairs in place; victims of the cap are the exact-dup-pass's work
-    * (report via a groupBy on dhash before this). NOTE: a band key
-    * space of 2^bandBits is coarse — at extreme corpus sizes raise
-    * `bandBits` (fewer, longer bands trade recall radius for bucket
-    * population) or exact-dedup on the full hash first.
+    * bands whenever d < 64/bandBits — pigeonhole), verified by full
+    * hamming ≤ `maxHamming`. DEFAULTS ARE CONSISTENT BY PIGEONHOLE:
+    * bandBits=8 gives 8 bands, so every pair with hamming ≤ 7 ≥
+    * maxHamming=6 shares a band DETERMINISTICALLY — no probabilistic
+    * recall gap (the round-4 bandBits=16 default guaranteed only
+    * d < 4 while verifying to 6; advisor finding). If you raise
+    * `maxHamming`, lower `bandBits` so 64/bandBits > maxHamming keeps
+    * the guarantee. The guarded in-bucket pair generation is
+    * [[DedupOps]]'s — count filter first, collect bounded, pairs
+    * row-bounded sub-bucket by sub-bucket; victims of the cap are the
+    * exact-dup-pass's work (report via a groupBy on dhash before
+    * this). NOTE: a band key space of 2^bandBits is coarse — at
+    * extreme corpus sizes raise `bandBits` (fewer, longer bands trade
+    * the deterministic radius for bucket population) or exact-dedup
+    * on the full hash first.
     */
   def imageNearDupPairs(
       hashes: DataFrame,
       maxHamming: Int = 6,
-      bandBits: Int = 16,
+      bandBits: Int = 8,
       maxBucket: Int = 1000): DataFrame = {
     require(64 % bandBits == 0, "bandBits must divide 64")
     val nBands = 64 / bandBits
@@ -93,11 +127,11 @@ object MediaOps {
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n").between(2, maxBucket))
       .select(col("bb"))
-    val pairs = bands.join(smallBuckets, Seq("bb"))
-      .groupBy(col("bb"))
-      .agg(array_sort(collect_set(col("id"))).as("ids"))
-      .select(explode(DedupOps.pairsWithin(col("ids"))).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
+    val pairs = DedupOps.boundedSelfPairs(
+      bands.join(smallBuckets, Seq("bb"))
+        .groupBy(col("bb"))
+        .agg(array_sort(collect_set(col("id"))).as("ids")),
+      "ids")
       .distinct()
     val h = clean
     pairs

@@ -180,9 +180,12 @@ object SimilarityOps {
     val buckets = allSigs.join(smallSigs, Seq("sig"))
       .groupBy(col("sig"))
       .agg(array_sort(collect_set(col("id"))).as("ids"))
-    val within = buckets.filter(size(col("ids")) >= 2)
-      .select(explode(DedupOps.pairsWithin(col("ids"))).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
+    // round 5: both pair generators are ROW-BOUNDED (sub-bucket
+    // splitting, DedupOps.boundedSelf/CrossPairs) — a pair of
+    // cap-sized buckets would otherwise cross up to maxBucket²
+    // structs in one row
+    val within = DedupOps.boundedSelfPairs(
+      buckets.filter(size(col("ids")) >= 2), "ids")
     // sig < nsig keeps each unordered bucket pair exactly once (the
     // 1-bit-flip relation is symmetric)
     val flips = buckets
@@ -191,11 +194,11 @@ object SimilarityOps {
           i => col("sig").bitwiseXOR(
             call_function("shiftleft", lit(1L), i)))).as("nsig"))
       .filter(col("sig") < col("nsig"))
-    val cross = flips
-      .join(buckets.select(col("sig").as("nsig"), col("ids").as("ids_b")),
-        Seq("nsig"))
-      .select(explode(crossBucketPairs(col("ids_a"), col("ids_b"))).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
+    val cross = DedupOps.boundedCrossPairs(
+      flips.join(
+        buckets.select(col("sig").as("nsig"), col("ids").as("ids_b")),
+        Seq("nsig")),
+      "ids_a", "ids_b")
     val pairs = within.unionByName(cross).distinct()
     val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
     pairs
@@ -205,15 +208,6 @@ object SimilarityOps {
         round(cosine(col("vec_a"), col("vec_b")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
-
-  /** All cross pairs between two DISJOINT id arrays (distinct home
-    * buckets ⇒ no id appears in both), ordered id_a < id_b via
-    * least/greatest. Inputs must be plain attributes (interpreted HOFs
-    * re-evaluate computed subtrees per element).
-    */
-  private def crossBucketPairs(as: Column, bs: Column): Column =
-    flatten(transform(as, x => transform(bs, y =>
-      struct(least(x, y).as("id_a"), greatest(x, y).as("id_b")))))
 
   /** The signature buckets [[embeddingNearDupPairs]] DROPPED under its
     * `maxBucket` guard — (sig, bucket_n) per oversized home bucket.

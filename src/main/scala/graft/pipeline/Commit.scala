@@ -137,13 +137,18 @@ object Commit {
     override def onStageSubmitted(
         s: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
       total.addAndGet(s.stageInfo.numTasks.toLong)
+    // only SUCCESSFUL task ends count (advisor, round 4): failed/killed
+    // attempts re-run and would double-count; speculative duplicates
+    // and stage resubmission can still nudge done past total, so
+    // percent clamps to 100 rather than overshooting the poll surface.
     override def onTaskEnd(
         t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-      done.incrementAndGet()
+      if (t.reason == org.apache.spark.Success) done.incrementAndGet()
     def completedTasks: Long = done.get
     def totalTasks: Long = total.get
     def percent: Double =
-      if (total.get == 0L) 0.0 else done.get * 100.0 / total.get
+      if (total.get == 0L) 0.0
+      else math.min(100.0, done.get * 100.0 / total.get)
   }
 
   /** Chunk-granularity progress record, written atomically to

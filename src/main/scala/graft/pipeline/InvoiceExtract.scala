@@ -226,13 +226,25 @@ object InvoiceExtract {
   def writeXlsx(invoices: DataFrame, path: String): Unit = {
     val proj = exportProjection(invoices)
     val headers = proj.columns.toSeq
+    // the SESSION's Hadoop configuration rides to executors (its
+    // effective entries, serialized as plain pairs — Configuration
+    // itself is not Serializable and Spark's SerializableConfiguration
+    // wrapper is private[spark]) — a bare `new Configuration()` would
+    // drop non-default FS settings (fs.defaultFS, object-store
+    // credentials) and write to the wrong filesystem (advisor, round 4)
+    import scala.jdk.CollectionConverters._
+    val confEntries = invoices.sparkSession.sparkContext
+      .hadoopConfiguration.iterator().asScala
+      .map(e => (e.getKey, e.getValue)).toVector
     proj.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
       if (it.hasNext) {
         val rows = it.map(r => (0 until r.length).map(r.get).toSeq).toVector
         val bytes = XlsxSink.build(headers, rows)
         val pid = org.apache.spark.TaskContext.getPartitionId()
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confEntries.foreach { case (k, v) => conf.set(k, v) }
         val p = new org.apache.hadoop.fs.Path(path, f"part-$pid%05d.xlsx")
-        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val fs = p.getFileSystem(conf)
         val out = fs.create(p, true)
         try out.write(bytes) finally out.close()
       }

@@ -50,7 +50,11 @@ object SpanKernel {
           Seq(SubSpan(t.doc_id, 0, 0, EmptyDocKind, "", "", ""))
         case "html" =>
           Seq(sub(t, 0, HtmlStrip.strip(t.text), ""))
-        case "pdf" | "png" | "jpeg" | "zip" =>
+        // delegate to MediaKinds so routing (ExtractionPipeline
+        // isMediaSpan) and kernel dispatch share one source of truth —
+        // a kind added to one list but not the other produced spurious
+        // 'unsupported span kind' errors (advisor, round 4)
+        case k if MediaKinds.contains(k) =>
           decodeMedia(t)
         case other =>
           Seq(err(t, s"unsupported span kind: $other"))

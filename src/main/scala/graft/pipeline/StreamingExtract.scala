@@ -60,7 +60,28 @@ object StreamingExtract {
     q
   }
 
-  /** Read the committed streaming output (all epochs). */
-  def readOutput(spark: SparkSession, outDir: String): DataFrame =
-    spark.read.parquet(s"$outDir/data")
+  /** Read the committed streaming output — COMMITTED epochs only,
+    * mirroring [[Commit.readOutput]]'s committed-only contract: an
+    * epoch directory written but never manifest-renamed (crash between
+    * the parquet write and the manifest move) is invisible to readers
+    * until the replay overwrites and commits it (advisor, round 4).
+    */
+  def readOutput(spark: SparkSession, outDir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val mDir = Paths.get(outDir, "_manifest")
+    val epochs =
+      if (!Files.isDirectory(mDir)) Nil
+      else Files.list(mDir).iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.matches("epoch-\\d+\\.json") =>
+          s.stripPrefix("epoch-").stripSuffix(".json").toLong }
+        .toSeq.sorted
+    if (epochs.isEmpty)
+      // no committed epoch: empty frame with the output schema (the
+      // data dir may hold only uncommitted partials, or nothing)
+      spark.read.parquet(s"$outDir/data").limit(0)
+    else
+      spark.read.option("basePath", s"$outDir/data")
+        .parquet(epochs.map(e => s"$outDir/data/epoch=$e"): _*)
+  }
 }

@@ -188,6 +188,50 @@ class DedupOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("boundedSelfPairs: cap-sized bucket → identical pair set, every row under subSize²") {
+    val n = 300; val sub = 16
+    val ids = (0 until n).map(i => f"id$i%04d") // already sorted
+    val df = Seq(Tuple1(ids)).toDF("ids")
+    // row-size envelope: no pre-explode row holds more than sub² structs
+    // (the round-4 single-row form held n(n-1)/2 ≈ 45k for this bucket)
+    val maxRow = DedupOps.boundedSelfPairSlices(df, "ids", sub)
+      .select(max(size(col("pairs")))).as[Int].head()
+    assert(maxRow <= sub * sub, s"row envelope violated: $maxRow > ${sub * sub}")
+    val got = DedupOps.boundedSelfPairs(df, "ids", sub)
+      .as[(String, String)].collect().toSet
+    val expected = (for { i <- 0 until n; j <- (i + 1) until n }
+      yield (ids(i), ids(j))).toSet
+    assert(got == expected)
+  }
+
+  test("boundedSelfPairs handles degenerate buckets (0/1/2 ids, non-multiple of subSize)") {
+    val cases = Seq(Seq.empty[String], Seq("x"), Seq("x", "y"),
+      (0 until 17).map(i => f"z$i%02d"))
+    cases.foreach { ids =>
+      val got = DedupOps.boundedSelfPairs(
+        Seq(Tuple1(ids)).toDF("ids"), "ids", subSize = 4)
+        .as[(String, String)].collect().toSet
+      val expected = (for { i <- ids.indices; j <- (i + 1) until ids.length }
+        yield (ids(i), ids(j))).toSet
+      assert(got == expected, s"ids=$ids")
+    }
+  }
+
+  test("boundedCrossPairs: two cap-sized buckets → full cross, every row under subSize²") {
+    val sub = 16
+    val as = (0 until 75).map(i => f"p$i%04d")
+    val bs = (0 until 90).map(i => f"a$i%04d") // interleaves BELOW as
+    val df = Seq((as, bs)).toDF("ids_a", "ids_b")
+    val maxRow = DedupOps.boundedCrossPairSlices(df, "ids_a", "ids_b", sub)
+      .select(max(size(col("pairs")))).as[Int].head()
+    assert(maxRow <= sub * sub, s"row envelope violated: $maxRow")
+    val got = DedupOps.boundedCrossPairs(df, "ids_a", "ids_b", sub)
+      .as[(String, String)].collect().toSet
+    val expected = (for { x <- as; y <- bs }
+      yield if (x < y) (x, y) else (y, x)).toSet
+    assert(got == expected)
+  }
+
   test("dropNearDups keeps exactly one row per near-dup group") {
     val corpus2 = (baseDocs ++ nearDups).toDF("doc_id", "text")
     val pairs = DedupOps.minhashLshPairs(corpus2, "doc_id", "text",

@@ -63,4 +63,29 @@ class MediaOpsSpec extends AnyFunSuite {
       .select("id_a", "id_b").as[(String, String)].collect().toSet
     assert(pairs == Set(("img/a", "img/a-dup")), pairs.toString)
   }
+
+  test("hashRaster is the exact dHash64 inverse through PNG encode/decode") {
+    val rng = new scala.util.Random(11)
+    val cases = Seq(0L, -1L, Long.MinValue, 0x5555555555555555L) ++
+      Seq.fill(20)(rng.nextLong())
+    cases.foreach { h =>
+      val png = GlyphFont.toPng(MediaOps.hashRaster(h), 9, 8)
+      assert(MediaOps.dHash64(png) == Some(h),
+        f"hash 0x$h%016x did not round-trip")
+    }
+  }
+
+  test("default band/verify radii are pigeonhole-consistent: any hamming<=maxHamming pair shares a band") {
+    // bandBits=8 → 8 bands; plant pairs at the WORST spread (6 flipped
+    // bits in 6 distinct bands) and assert they are still caught —
+    // the round-4 bandBits=16 default deterministically missed these
+    val base = 0x0123456789ABCDEFL
+    val flipped = base ^ 0x010101010101L // bits 0,8,16,24,32,40 — 6 bands
+    val hashes = Seq(("a", base), ("b", flipped))
+      .toDF("media_ref", "dhash")
+    val pairs = MediaOps.imageNearDupPairs(hashes)
+      .select("id_a", "id_b", "hamming")
+      .as[(String, String, Int)].collect().toSet
+    assert(pairs == Set(("a", "b", 6)), pairs.toString)
+  }
 }
