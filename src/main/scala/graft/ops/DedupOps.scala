@@ -345,43 +345,60 @@ object DedupOps {
     * finish); the jump makes label paths halve each round, so
     * convergence is O(log n) rounds on ANY graph shape. Each round is
     * two joins + one groupBy on the vertex key (shuffles on
-    * high-cardinality ids, AQE-coalesced); `localCheckpoint` per round
+    * high-cardinality ids, AQE-coalesced); a per-round checkpoint
     * cuts the otherwise O(rounds)-deep lineage, and the driver loop
     * submits O(log n) jobs — never O(rows) work.
     */
   def connectedComponents(
       pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25,
+      checkpointDir: Option[String] = None): DataFrame = {
+    // Durability (round 5): with `checkpointDir` set, per-round state
+    // goes through RELIABLE checkpoint (blocks on the shared
+    // filesystem) — the 100-TB posture, where one lost executor must
+    // not invalidate many rounds of truncated-lineage state the way
+    // executor-local localCheckpoint blocks would. Default stays
+    // localCheckpoint (fastest; fine for local mode / short jobs).
+    val spark = pairs.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def save(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-    val und = edges
+    val und = save(edges
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .localCheckpoint()
-    var labels = und.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id"))
-      .localCheckpoint()
+      .distinct())
+    var labels = save(und.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id")))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val prop = und
+      // the propagation groupBy carries BOTH the neighbour-min and the
+      // previous label (round 5): the self branch is tagged, so
+      // prev = min(cluster) over self rows (exactly one per id) — the
+      // convergence check needs no second join against prior labels
+      val contrib = und
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
-        .select(col("dst").as("id"), col("cluster"))
-        .unionByName(labels)
-        .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
+        .select(col("dst").as("id"), col("cluster"), lit(false).as("self"))
+        .unionByName(labels.withColumn("self", lit(true)))
+      val prop = contrib
+        .groupBy(col("id"))
+        .agg(min(col("cluster")).as("cluster"),
+          min(when(col("self"), col("cluster"))).as("prev"))
       // pointer jump: cluster(v) ← cluster(cluster(v)). Every label
       // value is itself a vertex (it is some vertex's id), so the
       // self-join always resolves; coalesce guards the left join.
-      val next = prop
+      val next = save(prop
         .join(prop.select(col("id").as("cluster"), col("cluster").as("parent")),
           Seq("cluster"), "left")
-        .select(col("id"), coalesce(col("parent"), col("cluster")).as("cluster"))
-        .localCheckpoint()
+        .select(col("id"),
+          coalesce(col("parent"), col("cluster")).as("cluster"),
+          (coalesce(col("parent"), col("cluster")) =!= col("prev"))
+            .as("changed")))
       // labels only ever decrease, so fixpoint ⇔ no (id, cluster)
-      // changed; the check rides the already-materialized checkpoints
-      val changed = next
-        .join(labels.withColumnRenamed("cluster", "prev"), Seq("id"))
-        .filter(col("cluster") =!= col("prev")).count()
-      labels = next
+      // changed; this count scans the just-materialized checkpoint —
+      // one action per round beyond the materialization, no join
+      val changed = next.filter(col("changed")).count()
+      labels = next.select(col("id"), col("cluster"))
       converged = changed == 0
       i += 1
     }
@@ -397,8 +414,10 @@ object DedupOps {
     */
   def dropNearDups(
       df: DataFrame, idCol: String, pairs: DataFrame,
-      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
-    val losers = connectedComponents(pairs, aCol, bCol)
+      aCol: String = "id_a", bCol: String = "id_b",
+      checkpointDir: Option[String] = None): DataFrame = {
+    val losers = connectedComponents(pairs, aCol, bCol,
+      checkpointDir = checkpointDir)
       .filter(col("id") =!= col("cluster"))
       .select(col("id"))
     df.join(losers, df(idCol) === losers("id"), "left_anti")

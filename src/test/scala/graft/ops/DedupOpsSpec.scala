@@ -151,6 +151,21 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(got.forall(_._2 == 0L), got.filter(_._2 != 0L).take(5).mkString(", "))
   }
 
+  test("connectedComponents with a RELIABLE checkpoint dir: same labels, blocks on disk") {
+    val dir = java.nio.file.Files.createTempDirectory("cc_ckpt").toString
+    val chain = (0L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = DedupOps.connectedComponents(chain, "id_a", "id_b",
+        checkpointDir = Some(dir))
+      .as[(Long, Long)].collect()
+    assert(got.length == 201 && got.forall(_._2 == 0L))
+    // reliable checkpoint actually wrote RDD blocks to the shared dir
+    // (the durability the 100-TB path needs; localCheckpoint would
+    // leave this empty)
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    assert(files > 0, s"no checkpoint blocks under $dir")
+  }
+
   test("minhash pairs cluster into groups with one keeper per component") {
     // chain near-dups so transitivity matters: doc 0 ~ 1000 ~ 2000
     // (1000 and 2000 are near-dups of 0 through different token
