@@ -70,12 +70,25 @@ object Commit {
     * One blob referenced from two chunks is duplicated across their
     * partitions (storage for read-locality, same trade Iceberg makes).
     *
-    * Staging is only reused behind an atomic completion sentinel
-    * (tmp + rename, like the manifests) recording snapshotId(docs):
-    * a run killed MID-staging leaves a partial _staged dir, and a
-    * resume that trusted bare directory existence would silently
-    * extract from incomplete docs/media; a reused outDir with a
-    * CHANGED input would silently extract stale data. Both restage.
+    * INCREMENTAL invalidation (round 5; was all-or-nothing): staging
+    * reuse is decided PER CHUNK, behind a per-chunk atomic sentinel
+    * recording that chunk's content fingerprint — an order-independent
+    * sum of per-row hashes plus row count, over the chunk's doc rows
+    * and over its referenced media keys (two column-pruned aggregate
+    * passes, collected as ≤ `chunks` rows). Appending one document
+    * restages exactly the chunk it hashes into; every other chunk's
+    * directories are untouched — the reference's per-document cache
+    * semantics (ocr_engine.py:123-135) at chunk grain, matching the
+    * granularity the commit manifests already resume at. Writes go
+    * through dynamic partition overwrite so only dirty partitions are
+    * replaced; chunks that vanished from the input are deleted.
+    * Crash-safe: a dirty chunk's sentinel is removed BEFORE its
+    * directories are rewritten and re-written (tmp + atomic rename)
+    * only after, so a run killed mid-staging leaves the chunk dirty,
+    * never half-trusted. Payload IMMUTABILITY BY REF is assumed (the
+    * object-store/Iceberg contract): the media fingerprint covers the
+    * chunk's ref SET, not payload bytes — re-hashing 100 TB of bytes
+    * per staging call would defeat the point.
     */
   def stageByChunk(
       spark: SparkSession,
@@ -84,36 +97,98 @@ object Commit {
       outDir: String,
       chunks: Int): (DataFrame, DataFrame) = {
     val stagedRoot = Paths.get(outDir, s"_staged", s"chunks=$chunks")
-    val sentinel = stagedRoot.resolve("_staged_complete")
-    val snap = snapshotId(docs)
+    val sentDir = stagedRoot.resolve("_chunk_sentinels")
+    Files.createDirectories(sentDir)
+    // pre-round-5 whole-input sentinel: its presence marks a layout
+    // without per-chunk fingerprints — drop it and let every chunk
+    // re-fingerprint (their dirs are rewritten on mismatch anyway)
+    Files.deleteIfExists(stagedRoot.resolve("_staged_complete"))
     val chunkOf = pmod(xxhash64(col("doc_id")), lit(chunks))
-    val reusable = Files.exists(sentinel) &&
-      Files.readString(sentinel).trim == snap
-    if (!reusable) {
-      if (Files.isDirectory(stagedRoot))
-        Files.walk(stagedRoot).iterator().asScala.toSeq.reverse
-          .foreach(Files.delete)
+    // per-chunk content fingerprints: docs rows + referenced media keys
+    // bit_xor folds are order-independent and cannot overflow (ANSI
+    // mode makes sum() throw); equal-row pairs cancelling under xor is
+    // disambiguated by the row count travelling alongside
+    val rowHash = xxhash64(to_json(struct(docs.columns.map(col): _*)))
+    val docSums = docs.select(chunkOf.as("chunk"), rowHash.as("h"))
+      .groupBy(col("chunk"))
+      .agg(call_function("bit_xor", col("h")).as("hsum"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val refChunks = docs
+      .select(chunkOf.as("chunk"),
+        explode(col("spans.media_ref")).as("media_ref"))
+      .filter(col("media_ref") =!= "")
+      .distinct()
+    val mediaSums = media.select(col("media_ref")).join(refChunks, Seq("media_ref"))
+      .groupBy(col("chunk"))
+      .agg(call_function("bit_xor", xxhash64(col("media_ref"))).as("hsum"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def fingerprint(k: Long): String = {
+      val (dh, dn) = docSums.getOrElse(k, (0L, 0L))
+      val (mh, mn) = mediaSums.getOrElse(k, (0L, 0L))
+      s"docs:$dh:$dn media:$mh:$mn layout=rowgroup4m"
+    }
+    def sentinelPath(k: Long) = sentDir.resolve(s"chunk-$k")
+    val live = docSums.keySet
+    val sentineled = Files.list(sentDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.matches("chunk-\\d+") => s.drop(6).toLong }
+      .toSet
+    def chunkDirs(k: Long) =
+      Seq(stagedRoot.resolve(s"docs/chunk=$k"), stagedRoot.resolve(s"media/chunk=$k"))
+    def deleteDir(p: Path): Unit =
+      if (Files.isDirectory(p))
+        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    val dirty = live.filter { k =>
+      !(Files.exists(sentinelPath(k)) &&
+        Files.readString(sentinelPath(k)) == fingerprint(k))
+    }.toSeq.sorted
+    // chunks staged before (sentinel or leftover dir) but gone from
+    // the input: remove, or a pruned read would resurrect stale docs
+    val dirIds = Seq("docs", "media").flatMap { t =>
+      val d = stagedRoot.resolve(t)
+      if (!Files.isDirectory(d)) Nil
+      else Files.list(d).iterator().asScala.map(_.getFileName.toString)
+        .collect { case s if s.matches("chunk=\\d+") => s.drop(6).toLong }.toSeq
+    }.toSet
+    ((sentineled ++ dirIds) -- live).foreach { k =>
+      Files.deleteIfExists(sentinelPath(k))
+      chunkDirs(k).foreach(deleteDir)
+    }
+    if (dirty.nonEmpty) {
+      // invalidate first (crash ⇒ still dirty), clear the partitions,
+      // then rewrite ONLY the dirty partitions (dynamic overwrite)
+      dirty.foreach { k =>
+        Files.deleteIfExists(sentinelPath(k))
+        chunkDirs(k).foreach(deleteDir)
+      }
       docs.withColumn("chunk", chunkOf)
-        .write.mode("overwrite").partitionBy("chunk")
+        .filter(col("chunk").isin(dirty: _*))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("chunk")
         .parquet(s"$stagedRoot/docs")
-      val refChunks = docs
-        .select(chunkOf.as("chunk"),
-          explode(col("spans.media_ref")).as("media_ref"))
-        .filter(col("media_ref") =!= "")
-        .distinct()
       // 4 MB row groups: scan-split = kernel-scheduling unit (see
       // CorpusGen.write / ExtractionPipeline session factory)
-      media.join(refChunks, Seq("media_ref"), "inner")
-        .write.mode("overwrite").partitionBy("chunk")
+      media.join(refChunks.filter(col("chunk").isin(dirty: _*)),
+          Seq("media_ref"), "inner")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("chunk")
         .option("parquet.block.size", s"${4 << 20}")
         .parquet(s"$stagedRoot/media")
-      val tmp = stagedRoot.resolve("._staged_complete.tmp")
-      Files.writeString(tmp, snap)
-      Files.move(tmp, sentinel,
-        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      dirty.foreach { k =>
+        val tmp = sentDir.resolve(s".chunk-$k.tmp")
+        Files.writeString(tmp, fingerprint(k))
+        Files.move(tmp, sentinelPath(k),
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      }
     }
     // explicit schemas: an empty staged table (no media in the corpus)
     // reads back as an empty frame instead of failing schema inference
+    Files.createDirectories(stagedRoot.resolve("docs"))
+    Files.createDirectories(stagedRoot.resolve("media"))
     val chunkField = org.apache.spark.sql.types.StructField(
       "chunk", org.apache.spark.sql.types.LongType)
     (spark.read.schema(org.apache.spark.sql.types.StructType(
@@ -199,8 +274,19 @@ object Commit {
     * lives in the session catalog (saveAsTable): this is the sandbox
     * stand-in for an Iceberg table whose partition spec carries
     * `bucket(N, media_ref)` durably — reuse across sessions restages
-    * if the catalog entry is gone. Staging is guarded by the same
-    * atomic snapshot sentinel as [[stageByChunk]].
+    * if the catalog entry is gone.
+    *
+    * Invalidation is PER COMPONENT (round 5; was one whole-input
+    * sentinel): tasks, media, and inline each carry their own atomic
+    * content-fingerprint sentinel (order-independent xor of row hashes
+    * + count — [[stageByChunk]]'s scheme), so a change touching only
+    * doc text rewrites the two small metadata components and REUSES
+    * the bucketed payload table — the dominant bytes at 100 TB.
+    * Payload immutability by ref is assumed, as in [[stageByChunk]].
+    * Finer grain (appending a few refs into existing buckets) is
+    * Iceberg's bucket-partitioned append; Spark's bucketed writer only
+    * replaces tables wholesale, so the media fingerprint decides reuse
+    * per TABLE, not per bucket.
     */
   def stageBucketed(
       spark: SparkSession,
@@ -210,34 +296,63 @@ object Commit {
       buckets: Int): BucketedStage = {
     require(buckets > 0)
     val root = Paths.get(outDir, "_bucketed", s"buckets=$buckets")
+    Files.createDirectories(root)
+    // pre-round-5 whole-input sentinel → no component fingerprints:
+    // drop it, every component re-fingerprints (and rewrites on miss)
+    Files.deleteIfExists(root.resolve("_bucketed_complete"))
     val tag = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$outDir|$buckets".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(8)
     val tasksTbl = s"graft_bucketed_tasks_$tag"
     val mediaTbl = s"graft_bucketed_media_$tag"
-    val sentinel = root.resolve("_bucketed_complete")
-    val snap = snapshotId(docs)
-    val reusable = Files.exists(sentinel) &&
-      Files.readString(sentinel).trim == snap &&
-      spark.catalog.tableExists(tasksTbl) &&
-      spark.catalog.tableExists(mediaTbl)
-    if (!reusable) {
+    val tasks = ExtractionPipeline.spanTasks(docs)
+    val isMedia = ExtractionPipeline.isMediaSpan
+    def fp(df: DataFrame): String = {
+      val cols = struct(df.columns.map(col): _*)
+      val r = df.agg(
+        call_function("bit_xor", xxhash64(to_json(cols))).as("hx"),
+        count(lit(1)).as("n")).head()
+      val hx = if (r.isNullAt(0)) 0L else r.getLong(0)
+      s"xor:$hx:n:${r.getLong(1)} layout=rowgroup4m"
+    }
+    def component(name: String, fingerprint: String, tableOk: Boolean)
+        (rewrite: () => Unit): Unit = {
+      val sentinel = root.resolve(s"_${name}_complete")
+      val fresh = Files.exists(sentinel) &&
+        Files.readString(sentinel) == fingerprint && tableOk
+      if (!fresh) {
+        Files.deleteIfExists(sentinel) // crash mid-rewrite ⇒ still dirty
+        rewrite()
+        val tmp = root.resolve(s"._${name}_complete.tmp")
+        Files.writeString(tmp, fingerprint)
+        Files.move(tmp, sentinel,
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    val mediaClean = media.filter(col("media_ref") =!= lit(""))
+      .select(col("media_ref"), col("bytes"))
+    // media fingerprint covers the ref SET (bytes immutable by ref)
+    val mediaFp = {
+      val r = mediaClean.agg(
+        call_function("bit_xor", xxhash64(col("media_ref"))).as("hx"),
+        count(lit(1)).as("n")).head()
+      s"xor:${if (r.isNullAt(0)) 0L else r.getLong(0)}:n:${r.getLong(1)} layout=rowgroup4m"
+    }
+    val mediaTasks = tasks.filter(isMedia)
+      .select(col("doc_id"), col("offset"), col("kind"), col("media_ref"))
+    val inlineTasks = tasks.filter(!isMedia)
+    component("tasks", fp(mediaTasks), spark.catalog.tableExists(tasksTbl)) { () =>
       spark.sql(s"DROP TABLE IF EXISTS $tasksTbl")
-      spark.sql(s"DROP TABLE IF EXISTS $mediaTbl")
-      if (Files.isDirectory(root))
-        Files.walk(root).iterator().asScala.toSeq.reverse
-          .foreach(Files.delete)
-      val tasks = ExtractionPipeline.spanTasks(docs)
-      val isMedia = ExtractionPipeline.isMediaSpan
-      tasks.filter(isMedia)
-        .select(col("doc_id"), col("offset"), col("kind"), col("media_ref"))
+      mediaTasks
         .repartition(buckets, col("media_ref"))
         .write.format("parquet")
         .bucketBy(buckets, "media_ref").sortBy("media_ref")
         .option("path", s"$root/tasks")
         .mode("overwrite").saveAsTable(tasksTbl)
-      media.filter(col("media_ref") =!= lit(""))
-        .select(col("media_ref"), col("bytes"))
+    }
+    component("media", mediaFp, spark.catalog.tableExists(mediaTbl)) { () =>
+      spark.sql(s"DROP TABLE IF EXISTS $mediaTbl")
+      mediaClean
         .repartition(buckets, col("media_ref"))
         .write.format("parquet")
         .bucketBy(buckets, "media_ref").sortBy("media_ref")
@@ -245,12 +360,9 @@ object Commit {
         // 4 MB row groups: scan-split = kernel-scheduling unit
         .option("parquet.block.size", s"${4 << 20}")
         .mode("overwrite").saveAsTable(mediaTbl)
-      tasks.filter(!isMedia)
-        .write.mode("overwrite").parquet(s"$root/inline")
-      val tmp = root.resolve("._bucketed_complete.tmp")
-      Files.writeString(tmp, snap)
-      Files.move(tmp, sentinel,
-        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
+    component("inline", fp(inlineTasks), tableOk = true) { () =>
+      inlineTasks.write.mode("overwrite").parquet(s"$root/inline")
     }
     BucketedStage(tasksTbl, mediaTbl, s"$root/inline", buckets)
   }

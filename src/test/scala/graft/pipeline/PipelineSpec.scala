@@ -118,34 +118,80 @@ class PipelineSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
-  test("partial or stale staging is rebuilt, never trusted (completion sentinel)") {
+  test("partial or stale staging is rebuilt, never trusted (per-chunk sentinels)") {
     val outDir = Files.createTempDirectory("graft_stage").toString
     val stagedRoot = java.nio.file.Paths.get(outDir, "_staged", "chunks=4")
-    // a run killed MID-staging: docs staged, media missing, no sentinel
+    val sentDir = stagedRoot.resolve("_chunk_sentinels")
+    // a run killed MID-staging: docs staged, media missing, no sentinels
     docs.withColumn("chunk", pmod(xxhash64(col("doc_id")), lit(4)))
       .write.mode("overwrite").partitionBy("chunk")
       .parquet(s"$stagedRoot/docs")
-    assert(!Files.exists(stagedRoot.resolve("_staged_complete")))
+    assert(!Files.isDirectory(sentDir) ||
+      !Files.list(sentDir).iterator().hasNext)
     val (sd, sm) = Commit.stageByChunk(spark, docs, media, outDir, chunks = 4)
-    // restaged from scratch: sentinel present, media complete
-    assert(Files.exists(stagedRoot.resolve("_staged_complete")))
+    // restaged from scratch: per-chunk sentinels present, media complete
+    assert(Files.list(sentDir).iterator().hasNext)
     assert(sd.count() == docs.count())
     assert(sm.count() > 0)
-    // a CHANGED input under the same outDir also restages (snapshot
-    // recorded in the sentinel mismatches)
+    // a CHANGED input under the same outDir also restages (per-chunk
+    // fingerprints mismatch) and deletes chunks gone from the input
     val otherDir = Files.createTempDirectory("graft_stage_in2").toString
     CorpusGen.write(spark, otherDir,
       CorpusGen.Params(nDocs = 40, kinds = Seq("text")))
     val docs2 = spark.read.parquet(s"$otherDir/docs")
     val media2 = spark.read.parquet(s"$otherDir/media")
-    val (sd2, _) = Commit.stageByChunk(spark, docs2, media2, outDir, chunks = 4)
+    val (sd2, sm2) = Commit.stageByChunk(spark, docs2, media2, outDir, chunks = 4)
     assert(sd2.count() == docs2.count(),
       "stale staging from the previous input was silently reused")
-    // unchanged input + sentinel → reuse (no restage: mtime stable)
-    val sentinel = stagedRoot.resolve("_staged_complete")
-    val before = Files.getLastModifiedTime(sentinel)
-    Commit.stageByChunk(spark, docs2, media2, outDir, chunks = 4)
-    assert(Files.getLastModifiedTime(sentinel) == before)
+    assert(sm2.count() == 0) // text-only corpus: stale media partitions gone
+  }
+
+  test("staging invalidation is PER CHUNK: one appended doc restages only its chunk") {
+    import spark.implicits._
+    val inDir = Files.createTempDirectory("graft_stage_inc_in").toString
+    CorpusGen.write(spark, inDir, CorpusGen.Params(nDocs = 30))
+    val outDir = Files.createTempDirectory("graft_stage_inc").toString
+    val stagedRoot = java.nio.file.Paths.get(outDir, "_staged", "chunks=4")
+    def d = spark.read.parquet(s"$inDir/docs")
+    def m = spark.read.parquet(s"$inDir/media")
+    Commit.stageByChunk(spark, d, m, outDir, chunks = 4)
+    // every staged file with its mtime, keyed by relative path
+    def fileState(): Map[String, java.nio.file.attribute.FileTime] = {
+      import scala.jdk.CollectionConverters._
+      Files.walk(stagedRoot).iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          p.toString.contains("chunk="))
+        .map(p => stagedRoot.relativize(p).toString ->
+          Files.getLastModifiedTime(p))
+        .toMap
+    }
+    // unchanged input → byte-identical staging (no file touched at all)
+    val s0 = fileState()
+    Commit.stageByChunk(spark, d, m, outDir, chunks = 4)
+    assert(fileState() == s0, "unchanged input rewrote staged files")
+    // append ONE doc (an extra parquet file in the same input dir)
+    Seq(graft.model.Doc("zz-appended",
+      Seq(graft.model.Span("text", "appended doc", "", 0))))
+      .toDF().write.mode("append").parquet(s"$inDir/docs")
+    val touched = spark.range(1)
+      .select(pmod(xxhash64(lit("zz-appended")), lit(4))).head().getLong(0)
+    val (sd, _) = Commit.stageByChunk(spark, d, m, outDir, chunks = 4)
+    val s1 = fileState()
+    // untouched chunks: identical file sets and mtimes
+    val untouchedBefore = s0.filter(!_._1.contains(s"chunk=$touched"))
+    val untouchedAfter = s1.filter(!_._1.contains(s"chunk=$touched"))
+    assert(untouchedAfter == untouchedBefore,
+      "an append restaged chunks it did not touch")
+    // the touched chunk WAS rewritten (fresh part files)
+    assert(s1.keySet.filter(_.contains(s"docs/chunk=$touched")) !=
+      s0.keySet.filter(_.contains(s"docs/chunk=$touched")),
+      "the appended doc's chunk was not restaged")
+    // and the staged view is complete + correct: extract over it is
+    // golden-equal to extract over the raw input
+    assert(sd.count() == d.count())
+    val viaStaged = ExtractionPipeline.extract(sd.drop("chunk"), m, 8)
+    val direct = ExtractionPipeline.extract(d, m, 8)
+    assert(mismatches(viaStaged, direct) == 0L)
   }
 
   test("maintenance: vacuum removes orphans, compact snapshots the manifest") {
@@ -232,6 +278,41 @@ class PipelineSpec extends AnyFunSuite {
     // staging is idempotent: a second call reuses the layout
     val again = Commit.stageBucketed(spark, docs, media, outDir, buckets = 8)
     assert(again == stage)
+  }
+
+  test("bucketed staging invalidates PER COMPONENT: inline-only change keeps the payload table") {
+    import spark.implicits._
+    val inDir = Files.createTempDirectory("graft_bucketed_inc_in").toString
+    CorpusGen.write(spark, inDir, CorpusGen.Params(nDocs = 30))
+    def d = spark.read.parquet(s"$inDir/docs")
+    def m = spark.read.parquet(s"$inDir/media")
+    val outDir = Files.createTempDirectory("graft_bucketed_inc").toString
+    val root = java.nio.file.Paths.get(outDir, "_bucketed", "buckets=4")
+    Commit.stageBucketed(spark, d, m, outDir, buckets = 4)
+    def fileState(sub: String): Map[String, java.nio.file.attribute.FileTime] = {
+      import scala.jdk.CollectionConverters._
+      Files.walk(root.resolve(sub)).iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .map(p => root.relativize(p).toString -> Files.getLastModifiedTime(p))
+        .toMap
+    }
+    val media0 = fileState("media"); val tasks0 = fileState("tasks")
+    val inline0 = fileState("inline")
+    // append one INLINE-ONLY doc: no new media refs, no new media spans
+    Seq(graft.model.Doc("zz-inline",
+      Seq(graft.model.Span("text", "appended inline", "", 0))))
+      .toDF().write.mode("append").parquet(s"$inDir/docs")
+    val stage = Commit.stageBucketed(spark, d, m, outDir, buckets = 4)
+    // payload table AND media-task table untouched; inline rewritten
+    assert(fileState("media") == media0,
+      "an inline-only change rewrote the bucketed payload table")
+    assert(fileState("tasks") == tasks0,
+      "an inline-only change rewrote the media-task table")
+    assert(fileState("inline") != inline0, "inline component not restaged")
+    // and the staged view is complete: extractStaged sees the new doc
+    val out = ExtractionPipeline.extractStaged(spark, stage, partitions = 8)
+    assert(out.filter(col("doc_id") === "zz-inline").count() == 1L)
+    assert(out.count() == d.count())
   }
 
   test("bucketed staged extract: missing payload and empty docs keep extract()'s semantics") {
