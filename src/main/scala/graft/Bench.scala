@@ -170,6 +170,26 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    // Warm second runs for the big HOF-lattice queries (round-4 verdict
+    // task 5): their cold first-run time is dominated by Catalyst
+    // plan-compile of the guard lattice, not execution — measure the
+    // split instead of asserting it. The warm pass re-plans the same
+    // query tree (fresh DataFrame) but hits the JVM's warmed codegen/
+    // JIT state; "queries" stays the cold run for cross-round
+    // comparability.
+    val warmSet = Set("q24_minhash_lsh", "q27_embedding_neardup",
+      "q30_neardup_clusters", "q32_image_neardup", "q33_drop_neardups")
+    val warm = (if (skipQueries) Map.empty[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame]
+      else SparkEntry.queries.view.filterKeys(warmSet).toMap)
+      .toSeq.sortBy(_._1).map { case (name, fn) =>
+        val q0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+        name -> (System.nanoTime() - q0) / 1e9
+      }
+    val warmJson =
+      if (warm.isEmpty) ""
+      else warm.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString(""","queries_warm":{""", ",", "}")
     val total = results.map(_._2).sum + extractSec + invoiceSec
     // headline throughput is MEDIAN-based (round-3 verdict: best-of
     // flatters on this bursty VM — the per-pass spread was 6×);
@@ -182,7 +202,7 @@ object Bench {
     // JVM's best-of-different-windows overstates concurrent throughput
     val secsArr = runSecs.map(s => f"$s%.3f").mkString("[", ",", "]")
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","docs_per_sec":$docsPerSec%.1f,"docs_per_sec_best":$docsPerSecBest%.1f,"spans_per_sec":$spansPerSec%.1f,"extract_sec":$extractSec%.3f,"extract_sec_median":$extractSecMedian%.3f,"extract_secs":$secsArr,"measure_runs":$measureRuns,"invoice_sec":$invoiceSec%.3f$stagedJson,"bench_docs":$docCount,"invoices":$invoiceCount,"cpus":$cpus}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$warmJson,"sf":"$sfDir","docs_per_sec":$docsPerSec%.1f,"docs_per_sec_best":$docsPerSecBest%.1f,"spans_per_sec":$spansPerSec%.1f,"extract_sec":$extractSec%.3f,"extract_sec_median":$extractSecMedian%.3f,"extract_secs":$secsArr,"measure_runs":$measureRuns,"invoice_sec":$invoiceSec%.3f$stagedJson,"bench_docs":$docCount,"invoices":$invoiceCount,"cpus":$cpus}"""
     println(json)
     // belt-and-braces for log-prefix scrapers: the same line lands in a file
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach(p =>

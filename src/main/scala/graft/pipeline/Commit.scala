@@ -367,10 +367,66 @@ object Commit {
     BucketedStage(tasksTbl, mediaTbl, s"$root/inline", buckets)
   }
 
+  /** Stage ONLY the media sidecar bucketed by `media_ref` — the
+    * static side of the streaming no-broadcast join
+    * (ExtractionPipeline.extractVsBucketedMedia): payloads land
+    * bucketed+sorted once, every micro-batch joins against them
+    * exchange-free on the payload side. Guarded by the same atomic
+    * content-fingerprint sentinel as [[stageBucketed]]'s media
+    * component (ref-set xor + count; payload immutability by ref).
+    * Returns the catalog table name.
+    */
+  def stageMediaBucketed(
+      spark: SparkSession,
+      media: DataFrame,
+      outDir: String,
+      buckets: Int): String = {
+    require(buckets > 0)
+    val root = Paths.get(outDir, "_bucketed_media", s"buckets=$buckets")
+    Files.createDirectories(root)
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$outDir|media|$buckets".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+    val tbl = s"graft_bucketed_smedia_$tag"
+    val mediaClean = media.filter(col("media_ref") =!= lit(""))
+      .select(col("media_ref"), col("bytes"))
+    val fpRow = mediaClean.agg(
+      call_function("bit_xor", xxhash64(col("media_ref"))).as("hx"),
+      count(lit(1)).as("n")).head()
+    val fp = s"xor:${if (fpRow.isNullAt(0)) 0L else fpRow.getLong(0)}" +
+      s":n:${fpRow.getLong(1)} layout=rowgroup4m"
+    val sentinel = root.resolve("_media_complete")
+    val fresh = Files.exists(sentinel) &&
+      Files.readString(sentinel) == fp && spark.catalog.tableExists(tbl)
+    if (!fresh) {
+      Files.deleteIfExists(sentinel)
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      mediaClean
+        .repartition(buckets, col("media_ref"))
+        .write.format("parquet")
+        .bucketBy(buckets, "media_ref").sortBy("media_ref")
+        .option("path", s"$root/media")
+        .option("parquet.block.size", s"${4 << 20}")
+        .mode("overwrite").saveAsTable(tbl)
+      val tmp = root.resolve("._media_complete.tmp")
+      Files.writeString(tmp, fp)
+      Files.move(tmp, sentinel,
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
+    tbl
+  }
+
   /** Run the extraction chunk-by-chunk with idempotent commits.
     *
     * @param failAfterChunks test hook — throw after committing this many
     *        chunks (simulates a killed run for the resume test)
+    * @param bucketedJoin route each chunk through the NO-BROADCAST
+    *        co-bucketed join (stageBucketed + extractStaged) instead of
+    *        the gated-broadcast `extract` — the 10^12-doc path, behind
+    *        a flag so the default chunk loop keeps its single staging
+    *        pass. Each chunk's pruned slice is bucket-staged under its
+    *        own sentinel-guarded dir, so resume pays no re-staging for
+    *        unchanged chunks.
     */
   def run(
       spark: SparkSession,
@@ -381,7 +437,8 @@ object Commit {
       chunks: Int = 4,
       partitions: Int = 32,
       failAfterChunks: Int = Int.MaxValue,
-      expected: Option[DataFrame] = None): RunSummary = {
+      expected: Option[DataFrame] = None,
+      bucketedJoin: Boolean = false): RunSummary = {
     require(chunks > 0)
     Files.createDirectories(manifestDir(outDir))
     val sourceSnapshot = snapshotId(docs)
@@ -401,7 +458,15 @@ object Commit {
         // docs AND media (PlanSpec asserts the PartitionFilters)
         val chunkDocs = stagedDocs.filter(col("chunk") === lit(k)).drop("chunk")
         val chunkMedia = stagedMedia.filter(col("chunk") === lit(k)).drop("chunk")
-        val out = ExtractionPipeline.extract(chunkDocs, chunkMedia, partitions)
+        val out =
+          if (bucketedJoin) {
+            // chunk-scoped co-bucketed layout (own dir → own catalog
+            // tables + sentinels): the media join is exchange-free and
+            // broadcast-free at any chunk size
+            val stage = stageBucketed(spark, chunkDocs, chunkMedia,
+              s"$outDir/_chunk_stage/chunk=$k", partitions)
+            ExtractionPipeline.extractStaged(spark, stage, partitions)
+          } else ExtractionPipeline.extract(chunkDocs, chunkMedia, partitions)
         out.write.mode("overwrite").parquet(s"$outDir/data/chunk=$k")
         // counts from the written files (what actually committed)
         val written = spark.read.parquet(s"$outDir/data/chunk=$k")

@@ -270,6 +270,47 @@ object ExtractionPipeline {
     reassemble(mediaSubs.toDF().unionByName(inlineSubs.toDF()))
   }
 
+  /** The media join for a BATCH of docs against an ALREADY-BUCKETED
+    * static media table (Commit.stageMediaBucketed) — the streaming
+    * path's no-broadcast join (round 5): each micro-batch's task
+    * metadata (tiny, bytes-free) is repartitioned to the media table's
+    * exact bucket layout (HashPartitioning(media_ref, buckets) — the
+    * same distribution the bucketed scan reports), so the join needs
+    * NO broadcast and NO exchange on the payload side; only the
+    * metadata rows move, once. ShuffledHashJoin BuildLeft via the
+    * shuffle_hash hint, LEFT join for missing-payload error semantics —
+    * exactly [[extractStaged]]'s join with the task side arriving from
+    * the stream instead of a staged table. Inline spans take the usual
+    * salted repartition.
+    */
+  def extractVsBucketedMedia(
+      spark: SparkSession,
+      docs: DataFrame,
+      mediaTable: String,
+      buckets: Int,
+      partitions: Int = 32,
+      asOf: LocalDate = DateExtract.DefaultAsOf): DataFrame = {
+    import spark.implicits._
+    val tasks = spanTasks(docs)
+    val payloads = spark.table(mediaTable)
+      .select(col("media_ref"), col("bytes"))
+    val mediaTasks = tasks.filter(isMediaSpan)
+      .select(col("doc_id"), col("offset"), col("kind"), col("media_ref"))
+      .repartition(buckets, col("media_ref"))
+    val withMedia = mediaTasks.hint("shuffle_hash")
+      .join(payloads, Seq("media_ref"), "left")
+      .withColumn("text", lit(""))
+    val mediaSubs = withMedia.select(taskCols.map(col): _*).as[SpanTask]
+      .mapPartitions(_.flatMap(t => SpanKernel.process(t, asOf)))
+    val salted = tasks.filter(!isMediaSpan)
+      .repartition(partitions,
+        pmod(xxhash64(col("doc_id"), col("offset")), lit(partitions)))
+      .withColumn("bytes", lit(null).cast(BinaryType))
+    val inlineSubs = salted.select(taskCols.map(col): _*).as[SpanTask]
+      .mapPartitions(_.flatMap(t => SpanKernel.process(t, asOf)))
+    reassemble(mediaSubs.toDF().unionByName(inlineSubs.toDF()))
+  }
+
   /** Rebuild `(doc_id, spans)` rows from kernel sub-spans: sort by
     * (source offset, sub index), renumber offsets contiguously.
     * Empty-doc marker sub-spans keep the doc_id alive through the

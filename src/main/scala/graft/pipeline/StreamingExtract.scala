@@ -23,6 +23,16 @@ object StreamingExtract {
     * extraction over `docsDir`. `Trigger.AvailableNow`: drain
     * everything currently available, then stop — the testable batch
     * of streaming; pass `continuous = true` for an unbounded query.
+    *
+    * `bucketedMediaBuckets = Some(n)` (round 5) stages the static
+    * media sidecar ONCE as an n-bucket table
+    * ([[Commit.stageMediaBucketed]], fingerprint-guarded — resumed
+    * runs pay nothing) and routes every micro-batch through the
+    * NO-BROADCAST join (ExtractionPipeline.extractVsBucketedMedia):
+    * the stream-static join then moves only the batch's bytes-free
+    * task metadata, never payloads, never a broadcast — the 10^12-doc
+    * posture for a streaming deployment. Default keeps `extract`'s
+    * gated broadcast.
     */
   def run(
       spark: SparkSession,
@@ -32,7 +42,8 @@ object StreamingExtract {
       checkpointDir: String,
       partitions: Int = 32,
       continuous: Boolean = false,
-      maxFilesPerTrigger: Int = 100): StreamingQuery = {
+      maxFilesPerTrigger: Int = 100,
+      bucketedMediaBuckets: Option[Int] = None): StreamingQuery = {
     // file stream needs an explicit schema; take it from the batch
     // reader of the same directory (cheap footer read)
     val schema = spark.read.parquet(docsDir).schema
@@ -40,12 +51,21 @@ object StreamingExtract {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(docsDir)
     Files.createDirectories(Paths.get(outDir, "_manifest"))
+    // one-time static-side staging, BEFORE the stream starts
+    val mediaTable = bucketedMediaBuckets.map(b =>
+      Commit.stageMediaBucketed(spark, media, outDir, b))
     val q = reader.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         val manifest = Paths.get(outDir, "_manifest", s"epoch-$epochId.json")
         if (!Files.exists(manifest)) { // replayed epoch → already committed
-          val out = ExtractionPipeline.extract(batch, media, partitions)
+          val out = (mediaTable, bucketedMediaBuckets) match {
+            case (Some(tbl), Some(b)) =>
+              ExtractionPipeline.extractVsBucketedMedia(
+                spark, batch, tbl, b, partitions)
+            case _ =>
+              ExtractionPipeline.extract(batch, media, partitions)
+          }
           out.write.mode("overwrite").parquet(s"$outDir/data/epoch=$epochId")
           val rows = spark.read.parquet(s"$outDir/data/epoch=$epochId").count()
           val tmp = Paths.get(outDir, "_manifest", s".epoch-$epochId.json.tmp")

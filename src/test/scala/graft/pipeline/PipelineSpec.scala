@@ -79,6 +79,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(Commit.readProgress(outDir).contains(100.0))
   }
 
+  test("chunked commit over the BUCKETED no-broadcast join resumes and matches goldens") {
+    val outDir = Files.createTempDirectory("graft_out_bj").toString
+    intercept[RuntimeException] {
+      Commit.run(spark, docs, media, outDir, "run-bj-1", chunks = 4,
+        partitions = 8, failAfterChunks = 2, bucketedJoin = true)
+    }
+    assert(Commit.committedChunks(outDir).size == 2)
+    val summary = Commit.run(spark, docs, media, outDir, "run-bj-2",
+      chunks = 4, partitions = 8, bucketedJoin = true)
+    assert(summary.skipped.size == 2 && summary.committed.size == 2)
+    val out = Commit.readOutput(spark, outDir)
+    assert(out.count() == golden.count())
+    assert(mismatches(out, golden) == 0L)
+  }
+
   test("span-mismatch counters land in the lineage manifests (north-rule field)") {
     // clean expectation → zero everywhere; a corrupted expectation →
     // exactly the corrupted doc counts as a mismatch, in its chunk

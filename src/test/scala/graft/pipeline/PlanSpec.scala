@@ -104,6 +104,28 @@ class PlanSpec extends AnyFunSuite {
     assert(joinIdx >= 0 || p.contains("ShuffledHashJoin"))
   }
 
+  test("batch-vs-bucketed-media join (streaming shape): no broadcast, no payload exchange") {
+    // The micro-batch task metadata repartitions to the media table's
+    // bucket layout; the payload side must feed the join straight from
+    // its bucketed scan — zero BroadcastExchange anywhere, and the only
+    // exchanges move bytes-free metadata/text.
+    val outDir = Files.createTempDirectory("graft_smedia_plan").toString
+    val docs = spark.read.parquet(s"$dir/docs")
+    val media = spark.read.parquet(s"$dir/media")
+    val tbl = Commit.stageMediaBucketed(spark, media, outDir, buckets = 4)
+    val p = plan(ExtractionPipeline.extractVsBucketedMedia(
+      spark, docs, tbl, buckets = 4, partitions = 8))
+    assert(!p.contains("BroadcastExchange") && !p.contains("BroadcastHashJoin"),
+      s"streaming-shape join must not depend on any broadcast:\n${p.take(4000)}")
+    assert(p.contains("ShuffledHashJoin"), p.take(3000))
+    val blocks = p.split("\\(\\d+\\) ").toSeq
+    blocks.filter(_.startsWith("Exchange")).foreach { b =>
+      val input = b.linesIterator.find(_.startsWith("Input")).getOrElse("")
+      assert(!input.contains("bytes#"),
+        s"an Exchange carries payload bytes:\n$b")
+    }
+  }
+
   test("invoice chain: exactly one round-robin exchange after reassembly") {
     // The typed date-cascade map is CPU-bound with high per-row
     // variance; one deliberate round-robin spread earns its shuffle
