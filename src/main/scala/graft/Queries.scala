@@ -286,10 +286,13 @@ object Queries {
         TextOps.digitRatioX1000(col("text")).as("digit_x1000"),
         TextOps.substrCount(col("text"), "the").as("the_count"))),
 
-    // language-ID heuristic
+    // language-ID heuristic — token split projected ONCE, then the
+    // argmax over the attribute (see TextOps.langIdFromTokens)
     "q20_lang_id" -> ((s, dir) =>
-      t(s, dir, "documents").select(col("doc_id"),
-        TextOps.langId(col("text")).as("lang_guess"))),
+      t(s, dir, "documents")
+        .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+        .select(col("doc_id"),
+          TextOps.langIdFromTokens(col("toks")).as("lang_guess"))),
 
     // document fingerprinting
     "q21_fingerprint" -> ((s, dir) =>
