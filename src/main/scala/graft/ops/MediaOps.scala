@@ -141,4 +141,29 @@ object MediaOps {
         bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** The band buckets [[imageNearDupPairs]] DROPPED under its
+    * `maxBucket` guard — (band, bucket, bucket_n) per oversized
+    * bucket. The no-silent-caps report (parity with
+    * [[DedupOps.minhashOversizedBuckets]] /
+    * [[SimilarityOps.oversizedSigBuckets]]): a guarded pipeline should
+    * count these; their members are exact-dedup work on the full hash
+    * (identical images hash identically), not banded-LSH work.
+    */
+  def imageOversizedBuckets(
+      hashes: DataFrame,
+      bandBits: Int = 8,
+      maxBucket: Int = 1000): DataFrame = {
+    require(64 % bandBits == 0, "bandBits must divide 64")
+    val nBands = 64 / bandBits
+    val mask = (1L << bandBits) - 1
+    hashes.filter(col("dhash").isNotNull)
+      .select(explode(transform(sequence(lit(0), lit(nBands - 1)), b =>
+        struct(b.as("band"),
+          call_function("shiftright", col("dhash"), b * lit(bandBits))
+            .bitwiseAND(lit(mask)).as("bucket")))).as("bb"))
+      .groupBy(col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
+  }
 }

@@ -64,6 +64,22 @@ class MediaOpsSpec extends AnyFunSuite {
     assert(pairs == Set(("img/a", "img/a-dup")), pairs.toString)
   }
 
+  test("imageOversizedBuckets reports exactly the buckets the pair op drops") {
+    // 1200 identical hashes (over the 1000 cap) + 2 planted near-dups:
+    // every band bucket of the identical mass is a victim; the planted
+    // pair still pairs up
+    val bomb = (0 until 1200).map(i => (f"bomb/$i%04d", 0x0F0F0F0F0F0F0F0FL))
+    val pairRows = Seq(("p/a", 0x123456789ABCDEFL), ("p/b", 0x123456789ABCDEEL))
+    val hashes = (bomb ++ pairRows).toDF("media_ref", "dhash")
+    val victims = MediaOps.imageOversizedBuckets(hashes)
+      .select("band", "bucket_n").as[(Int, Long)].collect()
+    assert(victims.length == 8 && victims.forall(_._2 == 1200L),
+      victims.mkString(", "))
+    val pairs = MediaOps.imageNearDupPairs(hashes)
+      .select("id_a", "id_b").as[(String, String)].collect().toSet
+    assert(pairs == Set(("p/a", "p/b")), pairs.toString)
+  }
+
   test("hashRaster is the exact dHash64 inverse through PNG encode/decode") {
     val rng = new scala.util.Random(11)
     val cases = Seq(0L, -1L, Long.MinValue, 0x5555555555555555L) ++
