@@ -350,6 +350,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(byId("bw-missing-media").map(_.getString(0)) == Seq("error"))
   }
 
+  test("batch-vs-bucketed-media join (streaming shape) keeps extract()'s weird-input semantics") {
+    import spark.implicits._
+    val weird = Seq(
+      graft.model.Doc("sw-null-ref", Seq(graft.model.Span("text", "hello", null, 0))),
+      graft.model.Doc("sw-empty", Nil),
+      graft.model.Doc("sw-missing-media", Seq(graft.model.Span("pdf", "", "m/nope/0", 0))))
+    val outDir = Files.createTempDirectory("graft_smedia_w").toString
+    val tbl = Commit.stageMediaBucketed(spark,
+      spark.emptyDataset[graft.model.MediaBlob].toDF(), outDir, buckets = 4)
+    val out = ExtractionPipeline.extractVsBucketedMedia(spark,
+      spark.createDataset(weird).toDF(), tbl, buckets = 4, partitions = 2)
+    assert(out.count() == 3)
+    val byId = out.collect().map(r => r.getString(0) ->
+      r.getSeq[org.apache.spark.sql.Row](1)).toMap
+    assert(byId("sw-null-ref").map(s => (s.getString(0), s.getString(1))) ==
+      Seq(("text", "hello")))
+    assert(byId("sw-empty").isEmpty)
+    assert(byId("sw-missing-media").map(_.getString(0)) == Seq("error"))
+  }
+
   test("extract and extractStaged agree exactly on a randomized adversarial corpus") {
     // seeded random docs mixing every edge shape at once: null/empty
     // text, null/aliased/missing media_refs, unknown kinds, empty
