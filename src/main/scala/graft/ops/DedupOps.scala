@@ -359,6 +359,11 @@ object DedupOps {
     // not invalidate many rounds of truncated-lineage state the way
     // executor-local localCheckpoint blocks would. Default stays
     // localCheckpoint (fastest; fine for local mode / short jobs).
+    // Housekeeping: reliable checkpoints are not auto-deleted; a
+    // 20-round CC leaves O(rounds) label snapshots under the dir. Set
+    // spark.cleaner.referenceTracking.cleanCheckpoints=true (GC-driven
+    // deletion of unreferenced rounds) or point checkpointDir at a
+    // run-scoped path and remove it after consuming the result.
     val spark = pairs.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     def save(df: DataFrame): DataFrame =
