@@ -519,6 +519,28 @@ object Queries {
         maxBucket = 1000)
       DedupOps.dropNearDups(planted, "doc_id", pairs)
         .select(col("doc_id"))
+    }),
+
+    // The decode→hash kernel itself, value-exact: imageDHashes over
+    // real synthesized PNGs must return EXACTLY the planted 60-bit
+    // md5-derived values (hashRaster/PNG/readGray/resize/dHash64 are
+    // exact inverses end-to-end), and undecodable payloads must
+    // surface as NULL rows — both directly restated by the oracle.
+    // q32 checks the pair lattice built on these hashes; this row
+    // pins the hashes themselves, NULL-surfacing included.
+    "q34_image_dhash" -> ((s, dir) => {
+      import s.implicits._
+      val keys = t(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 200).as[Long]
+      keys.mapPartitions(_.flatMap { k =>
+        val h = DedupOps.md5Hash64Scala(s"img:$k")
+        Iterator((s"img_$k",
+          graft.kernel.GlyphFont.toPng(MediaOps.hashRaster(h), 9, 8))) ++
+          (if (k % 7 == 0)
+            Iterator((s"img_${k}_x", Array[Byte](0, 1, 2, 3)))
+          else Iterator.empty)
+      }).toDF("media_ref", "bytes")
+        .transform(MediaOps.imageDHashes)
     })
   )
 
@@ -956,6 +978,18 @@ object Queries {
                    SELECT r.src, e.b AS dst FROM reach r JOIN e ON r.dst = e.a),
          lab AS (SELECT src AS id, least(src, min(dst)) AS cluster FROM reach GROUP BY src)
          SELECT doc_id FROM p
-         WHERE doc_id NOT IN (SELECT id FROM lab WHERE cluster <> id)"""
+         WHERE doc_id NOT IN (SELECT id FROM lab WHERE cluster <> id)""",
+
+    // Hash-value twin: good payloads decode to exactly the planted
+    // md5-derived 60-bit values; poison payloads (k%7==0 twins with a
+    // leading 0x00 byte) are NULL rows, present, not dropped.
+    "q34_image_dhash" ->
+      """SELECT 'img_' || CAST(doc_id AS VARCHAR) AS media_ref,
+                CAST('0x' || substr(md5('img:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS dhash
+         FROM documents WHERE doc_id < 200
+         UNION ALL
+         SELECT 'img_' || CAST(doc_id AS VARCHAR) || '_x' AS media_ref,
+                CAST(NULL AS BIGINT) AS dhash
+         FROM documents WHERE doc_id < 200 AND doc_id % 7 = 0"""
   )
 }
