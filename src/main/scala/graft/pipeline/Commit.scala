@@ -89,6 +89,11 @@ object Commit {
     * object-store/Iceberg contract): the media fingerprint covers the
     * chunk's ref SET, not payload bytes — re-hashing 100 TB of bytes
     * per staging call would defeat the point.
+    *
+    * Unchanged-input FAST PATH: an atomic `_input_snapshot` records
+    * the input file set the sentinels were written under; when it
+    * matches, even the fingerprint scan is skipped — the common
+    * resume case costs a file listing, not a pass over the corpus.
     */
   def stageByChunk(
       spark: SparkSession,
@@ -103,7 +108,54 @@ object Commit {
     // without per-chunk fingerprints — drop it and let every chunk
     // re-fingerprint (their dirs are rewritten on mismatch anyway)
     Files.deleteIfExists(stagedRoot.resolve("_staged_complete"))
+    // FAST PATH: if the input FILE SET (docs + media) is byte-for-byte
+    // the set the sentinels were written under, the per-chunk
+    // fingerprints cannot have changed — skip the content-hash scan
+    // entirely. The common resume case (nothing changed) then costs a
+    // file listing, not a pass over the corpus; any file-set change
+    // falls through to the authoritative per-chunk content
+    // fingerprints below. (Parquet writers never rewrite a file in
+    // place under the same name, so the file set is a sound
+    // unchanged-detector; the content hashes remain the decider
+    // whenever it misses.)
+    val inputSnap = snapshotId(docs) + "|" + snapshotId(media)
+    val snapFile = stagedRoot.resolve("_input_snapshot")
+    // in-memory frames have no input files — their snapshot degenerates
+    // to a schema hash, which two different datasets share; only
+    // file-backed inputs may take the fast path
+    val unchangedFastPath =
+      docs.inputFiles.nonEmpty && media.inputFiles.nonEmpty &&
+      Files.exists(snapFile) && Files.readString(snapFile) == inputSnap
     val chunkOf = pmod(xxhash64(col("doc_id")), lit(chunks))
+    if (!unchangedFastPath)
+      stageByChunkSlow(docs, media, stagedRoot, sentDir,
+        chunkOf, inputSnap, snapFile)
+    // explicit schemas: an empty staged table (no media in the corpus)
+    // reads back as an empty frame instead of failing schema inference
+    Files.createDirectories(stagedRoot.resolve("docs"))
+    Files.createDirectories(stagedRoot.resolve("media"))
+    val chunkField = org.apache.spark.sql.types.StructField(
+      "chunk", org.apache.spark.sql.types.LongType)
+    (spark.read.schema(org.apache.spark.sql.types.StructType(
+        docs.schema.fields :+ chunkField))
+        .parquet(s"$stagedRoot/docs"),
+      spark.read.schema(org.apache.spark.sql.types.StructType(
+        media.schema.fields :+ chunkField))
+        .parquet(s"$stagedRoot/media"))
+  }
+
+  /** The invalidation/rewrite half of [[stageByChunk]], run only when
+    * the input file set changed (or first staging): per-chunk content
+    * fingerprints decide which chunk partitions to rewrite.
+    */
+  private def stageByChunkSlow(
+      docs: DataFrame,
+      media: DataFrame,
+      stagedRoot: Path,
+      sentDir: Path,
+      chunkOf: org.apache.spark.sql.Column,
+      inputSnap: String,
+      snapFile: Path): Unit = {
     // per-chunk content fingerprints: docs rows + referenced media keys
     // bit_xor folds are order-independent and cannot overflow (ANSI
     // mode makes sum() throw); equal-row pairs cancelling under xor is
@@ -144,6 +196,10 @@ object Commit {
       !(Files.exists(sentinelPath(k)) &&
         Files.readString(sentinelPath(k)) == fingerprint(k))
     }.toSeq.sorted
+    // the input changed: yesterday's snapshot no longer vouches for
+    // the sentinels — remove it BEFORE rewriting so a crash mid-stage
+    // cannot leave a stale fast-path marker
+    Files.deleteIfExists(snapFile)
     // chunks staged before (sentinel or leftover dir) but gone from
     // the input: remove, or a pruned read would resurrect stale docs
     val dirIds = Seq("docs", "media").flatMap { t =>
@@ -185,18 +241,11 @@ object Commit {
           StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
       }
     }
-    // explicit schemas: an empty staged table (no media in the corpus)
-    // reads back as an empty frame instead of failing schema inference
-    Files.createDirectories(stagedRoot.resolve("docs"))
-    Files.createDirectories(stagedRoot.resolve("media"))
-    val chunkField = org.apache.spark.sql.types.StructField(
-      "chunk", org.apache.spark.sql.types.LongType)
-    (spark.read.schema(org.apache.spark.sql.types.StructType(
-        docs.schema.fields :+ chunkField))
-        .parquet(s"$stagedRoot/docs"),
-      spark.read.schema(org.apache.spark.sql.types.StructType(
-        media.schema.fields :+ chunkField))
-        .parquet(s"$stagedRoot/media"))
+    // all sentinels now reflect THIS input — arm the fast path
+    val tmp = stagedRoot.resolve("._input_snapshot.tmp")
+    Files.writeString(tmp, inputSnap)
+    Files.move(tmp, snapFile,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** A4 — progress % (reference models.py ProcessingStatus.progress ∈
@@ -305,6 +354,19 @@ object Commit {
       .map("%02x".format(_)).mkString.take(8)
     val tasksTbl = s"graft_bucketed_tasks_$tag"
     val mediaTbl = s"graft_bucketed_media_$tag"
+    // unchanged-input fast path (see stageByChunk): identical input
+    // file set + live catalog tables ⇒ the component fingerprints
+    // cannot have changed; skip the three fingerprint scans
+    val inputSnap = snapshotId(docs) + "|" + snapshotId(media)
+    val snapFile = root.resolve("_input_snapshot")
+    // file-backed inputs only: in-memory frames degenerate to a
+    // schema-hash snapshot (see stageByChunk)
+    if (docs.inputFiles.nonEmpty && media.inputFiles.nonEmpty &&
+        Files.exists(snapFile) && Files.readString(snapFile) == inputSnap &&
+        spark.catalog.tableExists(tasksTbl) &&
+        spark.catalog.tableExists(mediaTbl))
+      return BucketedStage(tasksTbl, mediaTbl, s"$root/inline", buckets)
+    Files.deleteIfExists(snapFile) // stale until every component is fresh
     val tasks = ExtractionPipeline.spanTasks(docs)
     val isMedia = ExtractionPipeline.isMediaSpan
     def fp(df: DataFrame): String = {
@@ -364,6 +426,11 @@ object Commit {
     component("inline", fp(inlineTasks), tableOk = true) { () =>
       inlineTasks.write.mode("overwrite").parquet(s"$root/inline")
     }
+    // every component fresh under THIS input — arm the fast path
+    val snapTmp = root.resolve("._input_snapshot.tmp")
+    Files.writeString(snapTmp, inputSnap)
+    Files.move(snapTmp, snapFile,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     BucketedStage(tasksTbl, mediaTbl, s"$root/inline", buckets)
   }
 
@@ -388,6 +455,15 @@ object Commit {
       .digest(s"$outDir|media|$buckets".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(8)
     val tbl = s"graft_bucketed_smedia_$tag"
+    // unchanged-input fast path, file-backed inputs only (see
+    // stageByChunk)
+    val inputSnap = snapshotId(media)
+    val snapFile = root.resolve("_input_snapshot")
+    if (media.inputFiles.nonEmpty &&
+        Files.exists(snapFile) && Files.readString(snapFile) == inputSnap &&
+        spark.catalog.tableExists(tbl))
+      return tbl
+    Files.deleteIfExists(snapFile)
     val mediaClean = media.filter(col("media_ref") =!= lit(""))
       .select(col("media_ref"), col("bytes"))
     val fpRow = mediaClean.agg(
@@ -413,6 +489,10 @@ object Commit {
       Files.move(tmp, sentinel,
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     }
+    val snapTmp = root.resolve("._input_snapshot.tmp")
+    Files.writeString(snapTmp, inputSnap)
+    Files.move(snapTmp, snapFile,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     tbl
   }
 

@@ -167,9 +167,11 @@ class PipelineSpec extends AnyFunSuite {
     CorpusGen.write(spark, inDir, CorpusGen.Params(nDocs = 30))
     val outDir = Files.createTempDirectory("graft_stage_inc").toString
     val stagedRoot = java.nio.file.Paths.get(outDir, "_staged", "chunks=4")
-    def d = spark.read.parquet(s"$inDir/docs")
-    def m = spark.read.parquet(s"$inDir/media")
-    Commit.stageByChunk(spark, d, m, outDir, chunks = 4)
+    // pinned frames: schema inference + file listing happen here, so
+    // the fast-path job count below measures STAGING work only
+    val d0 = spark.read.parquet(s"$inDir/docs")
+    val m = spark.read.parquet(s"$inDir/media")
+    Commit.stageByChunk(spark, d0, m, outDir, chunks = 4)
     // every staged file with its mtime, keyed by relative path
     def fileState(): Map[String, java.nio.file.attribute.FileTime] = {
       import scala.jdk.CollectionConverters._
@@ -180,9 +182,22 @@ class PipelineSpec extends AnyFunSuite {
           Files.getLastModifiedTime(p))
         .toMap
     }
-    // unchanged input → byte-identical staging (no file touched at all)
+    // unchanged input → byte-identical staging (no file touched at
+    // all) AND the fast path: zero Spark jobs — the resume case costs
+    // a file listing, not a fingerprint pass over the corpus
     val s0 = fileState()
-    Commit.stageByChunk(spark, d, m, outDir, chunks = 4)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Commit.stageByChunk(spark, d0, m, outDir, chunks = 4)
+      Thread.sleep(500) // listener bus is async
+      assert(jobs.get == 0, s"unchanged-input staging ran ${jobs.get} jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
     assert(fileState() == s0, "unchanged input rewrote staged files")
     // append ONE doc (an extra parquet file in the same input dir)
     Seq(graft.model.Doc("zz-appended",
@@ -190,6 +205,7 @@ class PipelineSpec extends AnyFunSuite {
       .toDF().write.mode("append").parquet(s"$inDir/docs")
     val touched = spark.range(1)
       .select(pmod(xxhash64(lit("zz-appended")), lit(4))).head().getLong(0)
+    val d = spark.read.parquet(s"$inDir/docs") // fresh: sees the append
     val (sd, _) = Commit.stageByChunk(spark, d, m, outDir, chunks = 4)
     val s1 = fileState()
     // untouched chunks: identical file sets and mtimes
