@@ -377,12 +377,21 @@ object Commit {
       val hx = if (r.isNullAt(0)) 0L else r.getLong(0)
       s"xor:$hx:n:${r.getLong(1)} layout=rowgroup4m"
     }
-    def component(name: String, fingerprint: String, tableOk: Boolean)
+    // reRegister: the catalog entry is SESSION state — a fresh session
+    // loses it while the staged files (possibly the 100-TB payload
+    // table) are intact on disk. When the content sentinel still
+    // vouches for the data but the table is gone, recreate the catalog
+    // entry over the existing files (CREATE TABLE ... CLUSTERED BY ...
+    // LOCATION) instead of rewriting them.
+    def component(name: String, fingerprint: String, tableOk: Boolean,
+        reRegister: Option[() => Unit] = None)
         (rewrite: () => Unit): Unit = {
       val sentinel = root.resolve(s"_${name}_complete")
-      val fresh = Files.exists(sentinel) &&
-        Files.readString(sentinel) == fingerprint && tableOk
-      if (!fresh) {
+      val sentinelFresh = Files.exists(sentinel) &&
+        Files.readString(sentinel) == fingerprint
+      if (sentinelFresh && tableOk) ()
+      else if (sentinelFresh && reRegister.isDefined) reRegister.get.apply()
+      else {
         Files.deleteIfExists(sentinel) // crash mid-rewrite ⇒ still dirty
         rewrite()
         val tmp = root.resolve(s"._${name}_complete.tmp")
@@ -391,6 +400,12 @@ object Commit {
           StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
       }
     }
+    def registerBucketed(tbl: String, schemaDdl: String, path: String): Unit =
+      spark.sql(
+        s"""CREATE TABLE $tbl ($schemaDdl) USING PARQUET
+           |CLUSTERED BY (media_ref) SORTED BY (media_ref)
+           |INTO $buckets BUCKETS
+           |LOCATION '$path'""".stripMargin)
     val mediaClean = media.filter(col("media_ref") =!= lit(""))
       .select(col("media_ref"), col("bytes"))
     // media fingerprint covers the ref SET (bytes immutable by ref)
@@ -403,7 +418,10 @@ object Commit {
     val mediaTasks = tasks.filter(isMedia)
       .select(col("doc_id"), col("offset"), col("kind"), col("media_ref"))
     val inlineTasks = tasks.filter(!isMedia)
-    component("tasks", fp(mediaTasks), spark.catalog.tableExists(tasksTbl)) { () =>
+    component("tasks", fp(mediaTasks), spark.catalog.tableExists(tasksTbl),
+      reRegister = Some(() => registerBucketed(tasksTbl,
+        "doc_id STRING, offset INT, kind STRING, media_ref STRING",
+        s"$root/tasks"))) { () =>
       spark.sql(s"DROP TABLE IF EXISTS $tasksTbl")
       mediaTasks
         .repartition(buckets, col("media_ref"))
@@ -412,7 +430,9 @@ object Commit {
         .option("path", s"$root/tasks")
         .mode("overwrite").saveAsTable(tasksTbl)
     }
-    component("media", mediaFp, spark.catalog.tableExists(mediaTbl)) { () =>
+    component("media", mediaFp, spark.catalog.tableExists(mediaTbl),
+      reRegister = Some(() => registerBucketed(mediaTbl,
+        "media_ref STRING, bytes BINARY", s"$root/media"))) { () =>
       spark.sql(s"DROP TABLE IF EXISTS $mediaTbl")
       mediaClean
         .repartition(buckets, col("media_ref"))
@@ -472,9 +492,19 @@ object Commit {
     val fp = s"xor:${if (fpRow.isNullAt(0)) 0L else fpRow.getLong(0)}" +
       s":n:${fpRow.getLong(1)} layout=rowgroup4m"
     val sentinel = root.resolve("_media_complete")
-    val fresh = Files.exists(sentinel) &&
-      Files.readString(sentinel) == fp && spark.catalog.tableExists(tbl)
-    if (!fresh) {
+    val sentinelFresh = Files.exists(sentinel) &&
+      Files.readString(sentinel) == fp
+    if (sentinelFresh && spark.catalog.tableExists(tbl)) ()
+    else if (sentinelFresh)
+      // files intact, catalog entry lost (new session): re-register
+      // over the existing payload files instead of rewriting them
+      spark.sql(
+        s"""CREATE TABLE $tbl (media_ref STRING, bytes BINARY)
+           |USING PARQUET
+           |CLUSTERED BY (media_ref) SORTED BY (media_ref)
+           |INTO $buckets BUCKETS
+           |LOCATION '$root/media'""".stripMargin)
+    else {
       Files.deleteIfExists(sentinel)
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
       mediaClean

@@ -344,6 +344,26 @@ class PipelineSpec extends AnyFunSuite {
     val out = ExtractionPipeline.extractStaged(spark, stage, partitions = 8)
     assert(out.filter(col("doc_id") === "zz-inline").count() == 1L)
     assert(out.count() == d.count())
+    // catalog loss (a fresh session's in-memory catalog is empty): the
+    // staged FILES are intact, so staging must RE-REGISTER the tables
+    // over them — never rewrite 100 TB because a session restarted
+    val media1 = fileState("media"); val tasks1 = fileState("tasks")
+    spark.sql(s"DROP TABLE ${stage.tasksTable}")
+    spark.sql(s"DROP TABLE ${stage.mediaTable}")
+    val stage2 = Commit.stageBucketed(spark, d, m, outDir, buckets = 4)
+    assert(fileState("media") == media1 && fileState("tasks") == tasks1,
+      "catalog loss triggered a data rewrite")
+    val out2 = ExtractionPipeline.extractStaged(spark, stage2, partitions = 8)
+    assert(out2.count() == d.count())
+    // the re-registered tables still join exchange-free
+    val p = {
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withOut(buf) {
+        ExtractionPipeline.extractStaged(spark, stage2, 8).explain("formatted")
+      }
+      buf.toString
+    }
+    assert(!p.contains("BroadcastExchange"), p.take(3000))
   }
 
   test("bucketed staged extract: missing payload and empty docs keep extract()'s semantics") {
