@@ -162,11 +162,19 @@ object Bench {
     // SPARK_GRAFT_SKIP_QUERIES=1 -> pipeline-only timing (tight scaling
     // trials on a noisy-neighbour box need short runs)
     val skipQueries = skipQueriesEnv
+    // a failed query reports -1.0, NOT its time-to-crash (a crash
+    // timed as a fast run would silently flatter the table), and
+    // contributes nothing to the total
+    def timeQuery(
+        fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Double = {
+      val q0 = System.nanoTime()
+      try { fn(spark, sfDir).count(); (System.nanoTime() - q0) / 1e9 }
+      catch { case _: Throwable => -1.0 }
+    }
     val results = (if (skipQueries) Map.empty[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame]
       else SparkEntry.queries).toSeq.sortBy(_._1).map { case (name, fn) =>
-      val q0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => }
-      name -> (System.nanoTime() - q0) / 1e9
+      name -> timeQuery(fn)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
@@ -181,16 +189,12 @@ object Bench {
       "q30_neardup_clusters", "q32_image_neardup", "q33_drop_neardups")
     val warm = (if (skipQueries) Map.empty[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame]
       else SparkEntry.queries.view.filterKeys(warmSet).toMap)
-      .toSeq.sortBy(_._1).map { case (name, fn) =>
-        val q0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => }
-        name -> (System.nanoTime() - q0) / 1e9
-      }
+      .toSeq.sortBy(_._1).map { case (name, fn) => name -> timeQuery(fn) }
     val warmJson =
       if (warm.isEmpty) ""
       else warm.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
         .mkString(""","queries_warm":{""", ",", "}")
-    val total = results.map(_._2).sum + extractSec + invoiceSec
+    val total = results.map(_._2).filter(_ >= 0).sum + extractSec + invoiceSec
     // headline throughput is MEDIAN-based (round-3 verdict: best-of
     // flatters on this bursty VM — the per-pass spread was 6×);
     // best-pass throughput stays in the JSON as docs_per_sec_best

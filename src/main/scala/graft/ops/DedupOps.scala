@@ -353,27 +353,40 @@ object DedupOps {
       pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 25,
       checkpointDir: Option[String] = None): DataFrame = {
-    // Durability (round 5): with `checkpointDir` set, per-round state
-    // goes through RELIABLE checkpoint (blocks on the shared
-    // filesystem) — the 100-TB posture, where one lost executor must
-    // not invalidate many rounds of truncated-lineage state the way
-    // executor-local localCheckpoint blocks would. Default stays
-    // localCheckpoint (fastest; fine for local mode / short jobs).
-    // Housekeeping: reliable checkpoints are not auto-deleted; a
-    // 20-round CC leaves O(rounds) label snapshots under the dir. Set
-    // spark.cleaner.referenceTracking.cleanCheckpoints=true (GC-driven
-    // deletion of unreferenced rounds) or point checkpointDir at a
-    // run-scoped path and remove it after consuming the result.
+    // Durability (round 5): with `checkpointDir` set, each round's
+    // state is materialized as a parquet table under the dir and read
+    // back — a reliable checkpoint on the shared filesystem (the
+    // 100-TB posture, where one lost executor must not invalidate many
+    // rounds of truncated-lineage state the way executor-local
+    // localCheckpoint blocks would) WITHOUT touching the
+    // context-global `setCheckpointDir` (which would silently redirect
+    // every other checkpoint user in the session — reviewer finding).
+    // Superseded rounds are deleted as the loop advances, so the dir
+    // holds O(1) tables: the edges, the current labels, and on return
+    // the FINAL labels (a durable artifact callers may reuse or
+    // delete). Default stays localCheckpoint (fastest; fine for local
+    // mode / short jobs).
     val spark = pairs.sparkSession
-    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
-    def save(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    val hadoopFs = checkpointDir.map { dir =>
+      new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    }
+    def save(df: DataFrame, name: String): DataFrame = checkpointDir match {
+      case Some(dir) =>
+        val p = s"$dir/$name"
+        df.write.mode("overwrite").parquet(p)
+        spark.read.parquet(p)
+      case None => df.localCheckpoint()
+    }
+    def drop(name: String): Unit = checkpointDir.foreach { dir =>
+      hadoopFs.foreach(_.delete(new org.apache.hadoop.fs.Path(s"$dir/$name"), true))
+    }
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
     val und = save(edges
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct())
+      .distinct(), "edges")
     var labels = save(und.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id")))
+      .withColumn("cluster", col("id")), "labels-0")
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -398,11 +411,12 @@ object DedupOps {
         .select(col("id"),
           coalesce(col("parent"), col("cluster")).as("cluster"),
           (coalesce(col("parent"), col("cluster")) =!= col("prev"))
-            .as("changed")))
+            .as("changed")), s"labels-${i + 1}")
       // labels only ever decrease, so fixpoint ⇔ no (id, cluster)
       // changed; this count scans the just-materialized checkpoint —
       // one action per round beyond the materialization, no join
       val changed = next.filter(col("changed")).count()
+      drop(s"labels-$i") // superseded round: keep the dir O(1)
       labels = next.select(col("id"), col("cluster"))
       converged = changed == 0
       i += 1

@@ -47,11 +47,26 @@ object Commit {
 
   def manifestDir(outDir: String): Path = Paths.get(outDir, "_manifest")
 
+  /** Files.list with the directory stream CLOSED (a bare
+    * `Files.list(...).iterator()` leaks one fd per call until GC —
+    * reviewer finding; a long-lived driver staging/polling in a loop
+    * can crawl toward the fd ulimit).
+    */
+  private def listDir(dir: Path): Seq[Path] = {
+    if (!Files.isDirectory(dir)) return Nil
+    val s = Files.list(dir)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
+  /** Files.walk, deepest-first, stream closed (see [[listDir]]). */
+  private def walkDeepestFirst(dir: Path): Seq[Path] = {
+    val s = Files.walk(dir)
+    try s.iterator().asScala.toSeq.reverse finally s.close()
+  }
+
   /** Chunks already committed (resume set). */
   def committedChunks(outDir: String): Map[Int, ChunkManifest] = {
-    val dir = manifestDir(outDir)
-    if (!Files.isDirectory(dir)) return Map.empty
-    Files.list(dir).iterator().asScala
+    listDir(manifestDir(outDir))
       .filter(_.getFileName.toString.matches("chunk-\\d+\\.json"))
       .flatMap(p => parseManifest(Files.readString(p)))
       .map(m => m.chunk -> m)
@@ -183,15 +198,14 @@ object Commit {
     }
     def sentinelPath(k: Long) = sentDir.resolve(s"chunk-$k")
     val live = docSums.keySet
-    val sentineled = Files.list(sentDir).iterator().asScala
+    val sentineled = listDir(sentDir)
       .map(_.getFileName.toString)
       .collect { case s if s.matches("chunk-\\d+") => s.drop(6).toLong }
       .toSet
     def chunkDirs(k: Long) =
       Seq(stagedRoot.resolve(s"docs/chunk=$k"), stagedRoot.resolve(s"media/chunk=$k"))
     def deleteDir(p: Path): Unit =
-      if (Files.isDirectory(p))
-        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      if (Files.isDirectory(p)) walkDeepestFirst(p).foreach(Files.delete)
     val dirty = live.filter { k =>
       !(Files.exists(sentinelPath(k)) &&
         Files.readString(sentinelPath(k)) == fingerprint(k))
@@ -203,10 +217,8 @@ object Commit {
     // chunks staged before (sentinel or leftover dir) but gone from
     // the input: remove, or a pruned read would resurrect stale docs
     val dirIds = Seq("docs", "media").flatMap { t =>
-      val d = stagedRoot.resolve(t)
-      if (!Files.isDirectory(d)) Nil
-      else Files.list(d).iterator().asScala.map(_.getFileName.toString)
-        .collect { case s if s.matches("chunk=\\d+") => s.drop(6).toLong }.toSeq
+      listDir(stagedRoot.resolve(t)).map(_.getFileName.toString)
+        .collect { case s if s.matches("chunk=\\d+") => s.drop(6).toLong }
     }.toSet
     ((sentineled ++ dirIds) -- live).foreach { k =>
       Files.deleteIfExists(sentinelPath(k))
@@ -307,6 +319,71 @@ object Commit {
       inlineDir: String,
       buckets: Int)
 
+  /** Order-independent content fingerprint of a media ref SET (bytes
+    * immutable by ref — the object-store contract): xor of key hashes
+    * + count. Shared by [[stageBucketed]] and [[stageMediaBucketed]]
+    * so the two sentinel formats cannot drift apart.
+    */
+  private def mediaRefFingerprint(mediaClean: DataFrame): String = {
+    val r = mediaClean.agg(
+      call_function("bit_xor", xxhash64(col("media_ref"))).as("hx"),
+      count(lit(1)).as("n")).head()
+    s"xor:${if (r.isNullAt(0)) 0L else r.getLong(0)}:n:${r.getLong(1)} layout=rowgroup4m"
+  }
+
+  /** Write a (media_ref, bytes) frame as a bucketed+sorted parquet
+    * table, one file per bucket, 4 MB row groups (scan-split =
+    * kernel-scheduling unit).
+    */
+  private def writeBucketedMedia(
+      spark: SparkSession, mediaClean: DataFrame,
+      path: String, tbl: String, buckets: Int): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    mediaClean
+      .repartition(buckets, col("media_ref"))
+      .write.format("parquet")
+      .bucketBy(buckets, "media_ref").sortBy("media_ref")
+      .option("path", path)
+      .option("parquet.block.size", s"${4 << 20}")
+      .mode("overwrite").saveAsTable(tbl)
+  }
+
+  /** Recreate a catalog entry over EXISTING bucketed files — the
+    * catalog is session state; a fresh session must re-register, never
+    * rewrite, an intact (possibly 100-TB) staged table.
+    */
+  private def registerBucketedTable(
+      spark: SparkSession, tbl: String, schemaDdl: String,
+      path: String, buckets: Int): Unit =
+    spark.sql(
+      s"""CREATE TABLE $tbl ($schemaDdl) USING PARQUET
+         |CLUSTERED BY (media_ref) SORTED BY (media_ref)
+         |INTO $buckets BUCKETS
+         |LOCATION '$path'""".stripMargin)
+
+  /** Sentinel-guarded component freshness: fresh sentinel + live table
+    * → no-op; fresh sentinel + lost table → `reRegister` over the
+    * existing files; anything else → invalidate (crash mid-rewrite ⇒
+    * still dirty), `rewrite`, re-arm the sentinel atomically.
+    */
+  private def freshComponent(
+      root: Path, name: String, fingerprint: String, tableOk: Boolean,
+      reRegister: Option[() => Unit] = None)(rewrite: () => Unit): Unit = {
+    val sentinel = root.resolve(s"_${name}_complete")
+    val sentinelFresh = Files.exists(sentinel) &&
+      Files.readString(sentinel) == fingerprint
+    if (sentinelFresh && tableOk) ()
+    else if (sentinelFresh && reRegister.isDefined) reRegister.get.apply()
+    else {
+      Files.deleteIfExists(sentinel)
+      rewrite()
+      val tmp = root.resolve(s"._${name}_complete.tmp")
+      Files.writeString(tmp, fingerprint)
+      Files.move(tmp, sentinel,
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
   /** Stage the input CO-BUCKETED BY `media_ref` — the storage layout
     * under which the media join needs neither a broadcast nor any
     * exchange (ExtractionPipeline.extractStaged). Three outputs:
@@ -377,51 +454,16 @@ object Commit {
       val hx = if (r.isNullAt(0)) 0L else r.getLong(0)
       s"xor:$hx:n:${r.getLong(1)} layout=rowgroup4m"
     }
-    // reRegister: the catalog entry is SESSION state — a fresh session
-    // loses it while the staged files (possibly the 100-TB payload
-    // table) are intact on disk. When the content sentinel still
-    // vouches for the data but the table is gone, recreate the catalog
-    // entry over the existing files (CREATE TABLE ... CLUSTERED BY ...
-    // LOCATION) instead of rewriting them.
-    def component(name: String, fingerprint: String, tableOk: Boolean,
-        reRegister: Option[() => Unit] = None)
-        (rewrite: () => Unit): Unit = {
-      val sentinel = root.resolve(s"_${name}_complete")
-      val sentinelFresh = Files.exists(sentinel) &&
-        Files.readString(sentinel) == fingerprint
-      if (sentinelFresh && tableOk) ()
-      else if (sentinelFresh && reRegister.isDefined) reRegister.get.apply()
-      else {
-        Files.deleteIfExists(sentinel) // crash mid-rewrite ⇒ still dirty
-        rewrite()
-        val tmp = root.resolve(s"._${name}_complete.tmp")
-        Files.writeString(tmp, fingerprint)
-        Files.move(tmp, sentinel,
-          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-      }
-    }
-    def registerBucketed(tbl: String, schemaDdl: String, path: String): Unit =
-      spark.sql(
-        s"""CREATE TABLE $tbl ($schemaDdl) USING PARQUET
-           |CLUSTERED BY (media_ref) SORTED BY (media_ref)
-           |INTO $buckets BUCKETS
-           |LOCATION '$path'""".stripMargin)
     val mediaClean = media.filter(col("media_ref") =!= lit(""))
       .select(col("media_ref"), col("bytes"))
-    // media fingerprint covers the ref SET (bytes immutable by ref)
-    val mediaFp = {
-      val r = mediaClean.agg(
-        call_function("bit_xor", xxhash64(col("media_ref"))).as("hx"),
-        count(lit(1)).as("n")).head()
-      s"xor:${if (r.isNullAt(0)) 0L else r.getLong(0)}:n:${r.getLong(1)} layout=rowgroup4m"
-    }
     val mediaTasks = tasks.filter(isMedia)
       .select(col("doc_id"), col("offset"), col("kind"), col("media_ref"))
     val inlineTasks = tasks.filter(!isMedia)
-    component("tasks", fp(mediaTasks), spark.catalog.tableExists(tasksTbl),
-      reRegister = Some(() => registerBucketed(tasksTbl,
+    freshComponent(root, "tasks", fp(mediaTasks),
+      spark.catalog.tableExists(tasksTbl),
+      reRegister = Some(() => registerBucketedTable(spark, tasksTbl,
         "doc_id STRING, offset INT, kind STRING, media_ref STRING",
-        s"$root/tasks"))) { () =>
+        s"$root/tasks", buckets))) { () =>
       spark.sql(s"DROP TABLE IF EXISTS $tasksTbl")
       mediaTasks
         .repartition(buckets, col("media_ref"))
@@ -430,20 +472,13 @@ object Commit {
         .option("path", s"$root/tasks")
         .mode("overwrite").saveAsTable(tasksTbl)
     }
-    component("media", mediaFp, spark.catalog.tableExists(mediaTbl),
-      reRegister = Some(() => registerBucketed(mediaTbl,
-        "media_ref STRING, bytes BINARY", s"$root/media"))) { () =>
-      spark.sql(s"DROP TABLE IF EXISTS $mediaTbl")
-      mediaClean
-        .repartition(buckets, col("media_ref"))
-        .write.format("parquet")
-        .bucketBy(buckets, "media_ref").sortBy("media_ref")
-        .option("path", s"$root/media")
-        // 4 MB row groups: scan-split = kernel-scheduling unit
-        .option("parquet.block.size", s"${4 << 20}")
-        .mode("overwrite").saveAsTable(mediaTbl)
+    freshComponent(root, "media", mediaRefFingerprint(mediaClean),
+      spark.catalog.tableExists(mediaTbl),
+      reRegister = Some(() => registerBucketedTable(spark, mediaTbl,
+        "media_ref STRING, bytes BINARY", s"$root/media", buckets))) { () =>
+      writeBucketedMedia(spark, mediaClean, s"$root/media", mediaTbl, buckets)
     }
-    component("inline", fp(inlineTasks), tableOk = true) { () =>
+    freshComponent(root, "inline", fp(inlineTasks), tableOk = true) { () =>
       inlineTasks.write.mode("overwrite").parquet(s"$root/inline")
     }
     // every component fresh under THIS input — arm the fast path
@@ -486,38 +521,11 @@ object Commit {
     Files.deleteIfExists(snapFile)
     val mediaClean = media.filter(col("media_ref") =!= lit(""))
       .select(col("media_ref"), col("bytes"))
-    val fpRow = mediaClean.agg(
-      call_function("bit_xor", xxhash64(col("media_ref"))).as("hx"),
-      count(lit(1)).as("n")).head()
-    val fp = s"xor:${if (fpRow.isNullAt(0)) 0L else fpRow.getLong(0)}" +
-      s":n:${fpRow.getLong(1)} layout=rowgroup4m"
-    val sentinel = root.resolve("_media_complete")
-    val sentinelFresh = Files.exists(sentinel) &&
-      Files.readString(sentinel) == fp
-    if (sentinelFresh && spark.catalog.tableExists(tbl)) ()
-    else if (sentinelFresh)
-      // files intact, catalog entry lost (new session): re-register
-      // over the existing payload files instead of rewriting them
-      spark.sql(
-        s"""CREATE TABLE $tbl (media_ref STRING, bytes BINARY)
-           |USING PARQUET
-           |CLUSTERED BY (media_ref) SORTED BY (media_ref)
-           |INTO $buckets BUCKETS
-           |LOCATION '$root/media'""".stripMargin)
-    else {
-      Files.deleteIfExists(sentinel)
-      spark.sql(s"DROP TABLE IF EXISTS $tbl")
-      mediaClean
-        .repartition(buckets, col("media_ref"))
-        .write.format("parquet")
-        .bucketBy(buckets, "media_ref").sortBy("media_ref")
-        .option("path", s"$root/media")
-        .option("parquet.block.size", s"${4 << 20}")
-        .mode("overwrite").saveAsTable(tbl)
-      val tmp = root.resolve("._media_complete.tmp")
-      Files.writeString(tmp, fp)
-      Files.move(tmp, sentinel,
-        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    freshComponent(root, "media", mediaRefFingerprint(mediaClean),
+      spark.catalog.tableExists(tbl),
+      reRegister = Some(() => registerBucketedTable(spark, tbl,
+        "media_ref STRING, bytes BINARY", s"$root/media", buckets))) { () =>
+      writeBucketedMedia(spark, mediaClean, s"$root/media", tbl, buckets)
     }
     val snapTmp = root.resolve("._input_snapshot.tmp")
     Files.writeString(snapTmp, inputSnap)
@@ -568,15 +576,21 @@ object Commit {
         // docs AND media (PlanSpec asserts the PartitionFilters)
         val chunkDocs = stagedDocs.filter(col("chunk") === lit(k)).drop("chunk")
         val chunkMedia = stagedMedia.filter(col("chunk") === lit(k)).drop("chunk")
-        val out =
-          if (bucketedJoin) {
-            // chunk-scoped co-bucketed layout (own dir → own catalog
-            // tables + sentinels): the media join is exchange-free and
-            // broadcast-free at any chunk size
-            val stage = stageBucketed(spark, chunkDocs, chunkMedia,
-              s"$outDir/_chunk_stage/chunk=$k", partitions)
+        // chunk-scoped co-bucketed layout (own dir → own catalog
+        // tables + sentinels): the media join is exchange-free and
+        // broadcast-free at any chunk size. Reclaimed after the
+        // chunk's commit (below) — a committed chunk never re-runs,
+        // so its staging is dead weight; footprint stays one chunk.
+        val stageOpt =
+          if (bucketedJoin) Some(stageBucketed(spark, chunkDocs, chunkMedia,
+            s"$outDir/_chunk_stage/chunk=$k", partitions))
+          else None
+        val out = stageOpt match {
+          case Some(stage) =>
             ExtractionPipeline.extractStaged(spark, stage, partitions)
-          } else ExtractionPipeline.extract(chunkDocs, chunkMedia, partitions)
+          case None =>
+            ExtractionPipeline.extract(chunkDocs, chunkMedia, partitions)
+        }
         out.write.mode("overwrite").parquet(s"$outDir/data/chunk=$k")
         // counts from the written files (what actually committed)
         val written = spark.read.parquet(s"$outDir/data/chunk=$k")
@@ -598,6 +612,16 @@ object Commit {
           stats.getLong(0), stats.getLong(1), stats.getLong(2),
           (System.nanoTime() - t0) / 1000000L, mismatches)
         writeManifest(outDir, m)
+        // the chunk is committed — reclaim its bucketed staging
+        // (catalog tables + dir); resume skips committed chunks, so
+        // nothing will ever read it again (reviewer finding: the
+        // per-chunk stages otherwise accumulate unboundedly)
+        stageOpt.foreach { stage =>
+          spark.sql(s"DROP TABLE IF EXISTS ${stage.tasksTable}")
+          spark.sql(s"DROP TABLE IF EXISTS ${stage.mediaTable}")
+          val d = Paths.get(s"$outDir/_chunk_stage/chunk=$k")
+          if (Files.isDirectory(d)) walkDeepestFirst(d).foreach(Files.delete)
+        }
         committed += m
         done += 1
         writeProgress(outDir, runId, already.size + done, chunks)
@@ -624,13 +648,10 @@ object Commit {
     val dataDir = Paths.get(outDir, "data")
     if (!Files.isDirectory(dataDir)) return Nil
     val committed = committedChunks(outDir).keySet
-    val orphans = Files.list(dataDir).iterator().asScala
+    val orphans = listDir(dataDir)
       .filter(p => p.getFileName.toString.matches("chunk=\\d+"))
       .filter(p => !committed.contains(p.getFileName.toString.drop(6).toInt))
-      .toSeq
-    orphans.foreach { dir =>
-      Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-    }
+    orphans.foreach(dir => walkDeepestFirst(dir).foreach(Files.delete))
     orphans.map(_.getFileName.toString.drop(6).toInt).sorted
   }
 

@@ -91,15 +91,22 @@ object StreamingExtract {
     val mDir = Paths.get(outDir, "_manifest")
     val epochs =
       if (!Files.isDirectory(mDir)) Nil
-      else Files.list(mDir).iterator().asScala
-        .map(_.getFileName.toString)
-        .collect { case s if s.matches("epoch-\\d+\\.json") =>
-          s.stripPrefix("epoch-").stripSuffix(".json").toLong }
-        .toSeq.sorted
+      else {
+        val s = Files.list(mDir)
+        try s.iterator().asScala
+          .map(_.getFileName.toString)
+          .collect { case n if n.matches("epoch-\\d+\\.json") =>
+            n.stripPrefix("epoch-").stripSuffix(".json").toLong }
+          .toSeq.sorted
+        finally s.close()
+      }
     if (epochs.isEmpty)
-      // no committed epoch: empty frame with the output schema (the
-      // data dir may hold only uncommitted partials, or nothing)
-      spark.read.parquet(s"$outDir/data").limit(0)
+      // no committed epoch: a statically-typed empty frame — the data
+      // dir may hold only an uncommitted partial, or not exist at all,
+      // so reading it for a schema could throw (reviewer finding)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.Encoders.product[graft.model.Doc].schema)
     else
       spark.read.option("basePath", s"$outDir/data")
         .parquet(epochs.map(e => s"$outDir/data/epoch=$e"): _*)
