@@ -541,7 +541,18 @@ object Queries {
           else Iterator.empty)
       }).toDF("media_ref", "bytes")
         .transform(MediaOps.imageDHashes)
-    })
+    }),
+
+    // similarity: IVF top-k — the inverted-file ANN family beside the
+    // q26 hyperplane LSH. Deterministic sampled centroids (vec_id
+    // multiples of 64), argmax-raw-dot cell assignment, nprobe=4
+    // probed cells, exact-cosine re-rank — the whole lattice replayed
+    // by the oracle (assignment uses raw dots, so no sqrt/division
+    // enters the cross-engine argmax decision).
+    "q35_ivf_topk" -> ((s, dir) =>
+      SimilarityOps.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        queryId = 0L, k = 10, centroidEvery = 64, maxCentroids = 64,
+        nprobe = 4))
   )
 
   // ---------------------------------------------------------------------
@@ -990,6 +1001,44 @@ object Queries {
          UNION ALL
          SELECT 'img_' || CAST(doc_id AS VARCHAR) || '_x' AS media_ref,
                 CAST(NULL AS BIGINT) AS dhash
-         FROM documents WHERE doc_id < 200 AND doc_id % 7 = 0"""
+         FROM documents WHERE doc_id < 200 AND doc_id % 7 = 0""",
+
+    // IVF twin: same sampled centroid set (vec_id % 64 = 0, first 64
+    // by id, 0-based cell index in id order), per-vector argmax raw
+    // dot (ties → lowest cell), query probes the 4 best cells, exact
+    // cosine re-rank of their members. list_sum(list_transform(...))
+    // reproduces the HOF fold's left-to-right double summation
+    // bit-for-bit (the q26/q27 precedent).
+    "q35_ivf_topk" ->
+      """WITH cents AS (
+           SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cidx,
+                  embedding AS cvec
+           FROM (SELECT vec_id, embedding FROM embeddings
+                 WHERE vec_id % 64 = 0 ORDER BY vec_id LIMIT 64)),
+         dots AS (
+           SELECT e.vec_id, e.embedding, c.cidx,
+                  list_sum(list_transform(range(1, len(e.embedding) + 1),
+                    j -> CAST(e.embedding[j] AS DOUBLE) * CAST(c.cvec[j] AS DOUBLE))) AS d
+           FROM embeddings e CROSS JOIN cents c),
+         assign AS (
+           SELECT vec_id, embedding, cidx AS cell FROM (
+             SELECT vec_id, embedding, cidx,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cidx) AS rn
+             FROM dots) WHERE rn = 1),
+         probes AS (
+           SELECT cidx AS cell FROM (
+             SELECT cidx, row_number() OVER (ORDER BY d DESC, cidx) AS rn
+             FROM dots WHERE vec_id = 0) WHERE rn <= 4),
+         q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         cand AS (
+           SELECT a.vec_id,
+                  round(list_cosine_similarity(a.embedding, (SELECT qv FROM q)), 6) AS cos_sim
+           FROM assign a JOIN probes p ON a.cell = p.cell),
+         ranked AS (
+           SELECT vec_id, cos_sim,
+                  row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rank
+           FROM cand)
+         SELECT vec_id, cos_sim, CAST(rank AS INTEGER) AS rank
+         FROM ranked WHERE rank <= 10"""
   )
 }

@@ -141,6 +141,65 @@ object SimilarityOps {
     withRank(top, idCol)
   }
 
+  /** IVF (inverted-file) top-k — the second ANN family beside the
+    * random-hyperplane LSH of [[lshTopK]]: a coarse quantizer assigns
+    * every vector to its nearest CENTROID CELL (argmax raw dot over a
+    * literal centroid matrix — a per-row HOF, zero shuffle; raw dot,
+    * not cosine, so no sqrt/division enters the cross-engine argmax),
+    * and a query probes only the `nprobe` nearest cells, exact-cosine
+    * re-ranking their members. At scale the cell column is the
+    * partition key: with C cells and nprobe probes the scan prunes to
+    * ~nprobe/C of the corpus (store the table partitioned/bucketed by
+    * cell and the probe join partition-prunes).
+    *
+    * Deterministic coarse quantizer: centroids are the vectors with
+    * id % centroidEvery == 0, first `maxCentroids` by id — the
+    * sampled-centroid bootstrap of classic IVF (a k-means refinement
+    * is a drop-in replacement for the centroid SET; assignment and
+    * probing are unchanged) chosen so the whole operator is
+    * oracle-checkable, like q26's neutral hyperplanes. The collect is
+    * bounded by `maxCentroids` (small constant), never corpus-sized.
+    * Tie-breaks are total: equal dots assign to the lowest cell
+    * index, ranks break on id.
+    */
+  def ivfTopK(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, centroidEvery: Long = 64,
+      maxCentroids: Int = 64, nprobe: Int = 4): DataFrame = {
+    val cents: Seq[Seq[Double]] = embeddings
+      .filter(col(idCol) % centroidEvery === 0)
+      .orderBy(col(idCol)).limit(maxCentroids)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    require(cents.nonEmpty, "no centroids sampled — lower centroidEvery")
+    val mat = typedlit(cents)
+    def dotsTo(vec: Column): Column = transform(mat, c =>
+      aggregate(zip_with(vec, c, (x, cc) => x.cast("double") * cc),
+        lit(0.0), (acc, x) => acc + x))
+    // dots projected FIRST: argmax references the array twice, and a
+    // computed subtree re-evaluates per reference (interpreted HOFs)
+    val withDots = embeddings.select(col(idCol), col(vecCol),
+      dotsTo(col(vecCol)).as("dots"))
+    val withCell = withDots.select(col(idCol), col(vecCol),
+      (array_position(col("dots"), array_max(col("dots"))) - 1)
+        .cast("int").as("cell"))
+    // the query row reuses its projected dots for the probe ranking
+    val query = withDots.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("query_vec"),
+        slice(transform(array_sort(
+          zip_with(col("dots"), sequence(lit(0), lit(cents.length - 1)),
+            (d, i) => struct((-d).as("negd"), i.as("cell")))),
+          s => s("cell")), 1, nprobe).as("probe_cells"))
+    val probes = query.select(col("query_vec"),
+      explode(col("probe_cells")).as("cell"))
+    val candidates = withCell.join(broadcast(probes), Seq("cell"))
+    val top = candidates
+      .select(col(idCol),
+        round(cosine(col(vecCol), col("query_vec")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol).asc).limit(k)
+    withRank(top, idCol)
+  }
+
   /** Batch embedding near-dup pairs, LSH-bucketed — the scale shape
     * for corpus-wide near-dup removal. Candidate pairs collide on the
     * hyperplane bucket (exact or 1-bit-flip probe: hamming ≤ 1), then

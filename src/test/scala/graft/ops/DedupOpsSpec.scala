@@ -258,6 +258,28 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(kept == (0L until 40L).toSet)
   }
 
+  test("ivfTopK surfaces a planted near-identical vector from the probed cells") {
+    val vrng = new scala.util.Random(17)
+    def randVec(): Array[Float] =
+      Array.fill(16)((vrng.nextDouble() * 2 - 1).toFloat)
+    val base = (0 until 120).map(i => (i.toLong, randVec()))
+    val v0 = base.head._2.clone()
+    v0(0) = v0(0) + 1e-4f // near-identical to the query vector 0
+    val emb = (base :+ (999L, v0)).toDF("vec_id", "embedding")
+    val top = SimilarityOps
+      .ivfTopK(emb, "vec_id", "embedding", queryId = 0L, k = 3,
+        centroidEvery = 16, maxCentroids = 8, nprobe = 3)
+      .select("vec_id", "cos_sim", "rank")
+      .as[(Long, Double, Int)].collect().sortBy(_._3)
+    // the query itself ranks first at similarity 1.0 (its own cell is
+    // always the best probe), and the planted twin lands in the SAME
+    // cell (near-identical dots → same argmax), so IVF must find it
+    assert(top.head._1 == 0L && top.head._2 == 1.0, top.mkString(", "))
+    val planted = top.find(_._1 == 999L)
+    assert(planted.isDefined, s"planted 999 not in top-k: ${top.mkString(", ")}")
+    assert(planted.get._2 >= 0.9999, planted.get.toString)
+  }
+
   test("lshTopK (default splitmix hyperplanes) surfaces a planted near-identical vector") {
     val vrng = new scala.util.Random(7)
     def randVec(): Array[Float] =
