@@ -365,7 +365,9 @@ object DedupOps {
     // holds O(1) tables: the edges, the current labels, and on return
     // the FINAL labels (a durable artifact callers may reuse or
     // delete). Default stays localCheckpoint (fastest; fine for local
-    // mode / short jobs).
+    // mode / short jobs). Point each run at its OWN dir: the round
+    // tables use fixed names (edges, labels-N), so two concurrent runs
+    // sharing a dir would overwrite each other's state.
     val spark = pairs.sparkSession
     val hadoopFs = checkpointDir.map { dir =>
       new org.apache.hadoop.fs.Path(dir)
