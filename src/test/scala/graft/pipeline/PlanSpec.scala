@@ -156,6 +156,10 @@ class PlanSpec extends AnyFunSuite {
       emb, "vec_id", "embedding", queryId = 0L, k = 10, bits = 8))
     assert(lsh.contains("TakeOrderedAndProject"), lsh.take(3000))
     assert(!lsh.contains("Window"), lsh.take(3000))
+    val ivf = plan(graft.ops.SimilarityOps.ivfTopK(
+      emb, "vec_id", "embedding", queryId = 0L, k = 10))
+    assert(ivf.contains("TakeOrderedAndProject"), ivf.take(3000))
+    assert(!ivf.contains("Window"), ivf.take(3000))
   }
 
   test("no registered query plan contains a nested-loop or cartesian join") {
