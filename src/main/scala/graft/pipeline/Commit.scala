@@ -175,7 +175,7 @@ object Commit {
     // bit_xor folds are order-independent and cannot overflow (ANSI
     // mode makes sum() throw); equal-row pairs cancelling under xor is
     // disambiguated by the row count travelling alongside
-    val rowHash = xxhash64(to_json(struct(docs.columns.map(col): _*)))
+    val rowHash = xxhash64(to_json(struct(docs.columns.toIndexedSeq.map(col): _*)))
     val docSums = docs.select(chunkOf.as("chunk"), rowHash.as("h"))
       .groupBy(col("chunk"))
       .agg(call_function("bit_xor", col("h")).as("hsum"),
@@ -447,7 +447,7 @@ object Commit {
     val tasks = ExtractionPipeline.spanTasks(docs)
     val isMedia = ExtractionPipeline.isMediaSpan
     def fp(df: DataFrame): String = {
-      val cols = struct(df.columns.map(col): _*)
+      val cols = struct(df.columns.toIndexedSeq.map(col): _*)
       val r = df.agg(
         call_function("bit_xor", xxhash64(to_json(cols))).as("hx"),
         count(lit(1)).as("n")).head()
