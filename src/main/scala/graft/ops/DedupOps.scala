@@ -407,19 +407,26 @@ object DedupOps {
       // pointer jump: cluster(v) ← cluster(cluster(v)). Every label
       // value is itself a vertex (it is some vertex's id), so the
       // self-join always resolves; coalesce guards the left join.
+      // Convergence (round 6): the changed-count rides the checkpoint
+      // materialization as an `observe` metric — labels only ever
+      // decrease, so fixpoint ⇔ no (id, cluster) changed, and the
+      // CollectMetrics node folds that count into the SAME job that
+      // writes/materializes the round's labels. ONE action per round
+      // (was two: materialize + a count scan of the checkpoint),
+      // halving driver round-trips over the O(log n) loop.
+      val obs = new org.apache.spark.sql.Observation(s"cc-changed-$i")
       val next = save(prop
         .join(prop.select(col("id").as("cluster"), col("cluster").as("parent")),
           Seq("cluster"), "left")
         .select(col("id"),
           coalesce(col("parent"), col("cluster")).as("cluster"),
           (coalesce(col("parent"), col("cluster")) =!= col("prev"))
-            .as("changed")), s"labels-${i + 1}")
-      // labels only ever decrease, so fixpoint ⇔ no (id, cluster)
-      // changed; this count scans the just-materialized checkpoint —
-      // one action per round beyond the materialization, no join
-      val changed = next.filter(col("changed")).count()
+            .as("changed"))
+        .observe(obs, count(when(col("changed"), lit(1))).as("changed"))
+        .select(col("id"), col("cluster")), s"labels-${i + 1}")
+      val changed = obs.get("changed").asInstanceOf[Long]
       drop(s"labels-$i") // superseded round: keep the dir O(1)
-      labels = next.select(col("id"), col("cluster"))
+      labels = next
       converged = changed == 0
       i += 1
     }

@@ -173,28 +173,39 @@ object Commit {
       snapFile: Path): Unit = {
     // per-chunk content fingerprints: docs rows + referenced media keys
     // bit_xor folds are order-independent and cannot overflow (ANSI
-    // mode makes sum() throw); equal-row pairs cancelling under xor is
-    // disambiguated by the row count travelling alongside
+    // mode makes sum() throw). TWO xor folds travel with the count:
+    // the plain fold cancels on even-multiplicity swaps ({A,A}→{C,C}
+    // keeps xor AND count identical — advisor, round 5), so a second
+    // fold over the DISTINCT row hashes (A^B vs C^B differ) closes the
+    // pair-cancellation hole; a change fooling all three simultaneously
+    // would need equal xor, equal distinct-xor, and equal count.
     val rowHash = xxhash64(to_json(struct(docs.columns.toIndexedSeq.map(col): _*)))
     val docSums = docs.select(chunkOf.as("chunk"), rowHash.as("h"))
       .groupBy(col("chunk"))
-      .agg(call_function("bit_xor", col("h")).as("hsum"),
+      .agg(expr("bit_xor(h)").as("hsum"),
+        expr("bit_xor(DISTINCT h)").as("hsumd"),
         count(lit(1)).as("n"))
-      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
     val refChunks = docs
       .select(chunkOf.as("chunk"),
         explode(col("spans.media_ref")).as("media_ref"))
       .filter(col("media_ref") =!= "")
       .distinct()
     val mediaSums = media.select(col("media_ref")).join(refChunks, Seq("media_ref"))
+      .select(col("chunk"), xxhash64(col("media_ref")).as("h"))
       .groupBy(col("chunk"))
-      .agg(call_function("bit_xor", xxhash64(col("media_ref"))).as("hsum"),
+      .agg(expr("bit_xor(h)").as("hsum"),
+        expr("bit_xor(DISTINCT h)").as("hsumd"),
         count(lit(1)).as("n"))
-      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
     def fingerprint(k: Long): String = {
-      val (dh, dn) = docSums.getOrElse(k, (0L, 0L))
-      val (mh, mn) = mediaSums.getOrElse(k, (0L, 0L))
-      s"docs:$dh:$dn media:$mh:$mn layout=rowgroup4m"
+      val (dh, dhd, dn) = docSums.getOrElse(k, (0L, 0L, 0L))
+      val (mh, mhd, mn) = mediaSums.getOrElse(k, (0L, 0L, 0L))
+      s"docs:$dh:$dhd:$dn media:$mh:$mhd:$mn layout=rowgroup4m"
     }
     def sentinelPath(k: Long) = sentDir.resolve(s"chunk-$k")
     val live = docSums.keySet
@@ -325,10 +336,14 @@ object Commit {
     * so the two sentinel formats cannot drift apart.
     */
   private def mediaRefFingerprint(mediaClean: DataFrame): String = {
-    val r = mediaClean.agg(
-      call_function("bit_xor", xxhash64(col("media_ref"))).as("hx"),
-      count(lit(1)).as("n")).head()
-    s"xor:${if (r.isNullAt(0)) 0L else r.getLong(0)}:n:${r.getLong(1)} layout=rowgroup4m"
+    val r = mediaClean.select(xxhash64(col("media_ref")).as("h"))
+      .agg(expr("bit_xor(h)").as("hx"),
+        expr("bit_xor(DISTINCT h)").as("hxd"),
+        count(lit(1)).as("n")).head()
+    def nz(i: Int) = if (r.isNullAt(i)) 0L else r.getLong(i)
+    // two xor folds + count (see stageByChunkSlow): the distinct fold
+    // breaks the even-multiplicity cancellation of the plain fold
+    s"xor:${nz(0)}:${nz(1)}:n:${r.getLong(2)} layout=rowgroup4m"
   }
 
   /** Write a (media_ref, bytes) frame as a bucketed+sorted parquet
@@ -365,15 +380,28 @@ object Commit {
     * → no-op; fresh sentinel + lost table → `reRegister` over the
     * existing files; anything else → invalidate (crash mid-rewrite ⇒
     * still dirty), `rewrite`, re-arm the sentinel atomically.
+    *
+    * reRegister is gated on the data location still holding at least
+    * one data file (advisor, round 5): a sentinel that survived while
+    * the data subdir was removed must NOT register an empty table —
+    * CREATE TABLE ... LOCATION over nothing would silently proceed
+    * with every payload missing; such a component falls through to the
+    * invalidate-and-rewrite branch instead.
     */
   private def freshComponent(
       root: Path, name: String, fingerprint: String, tableOk: Boolean,
-      reRegister: Option[() => Unit] = None)(rewrite: () => Unit): Unit = {
+      reRegister: Option[() => Unit] = None,
+      dataDir: Option[Path] = None)(rewrite: () => Unit): Unit = {
     val sentinel = root.resolve(s"_${name}_complete")
     val sentinelFresh = Files.exists(sentinel) &&
       Files.readString(sentinel) == fingerprint
+    def hasDataFiles = dataDir.forall(d => listDir(d).exists { p =>
+      val n = p.getFileName.toString
+      !n.startsWith("_") && !n.startsWith(".")
+    })
     if (sentinelFresh && tableOk) ()
-    else if (sentinelFresh && reRegister.isDefined) reRegister.get.apply()
+    else if (sentinelFresh && reRegister.isDefined && hasDataFiles)
+      reRegister.get.apply()
     else {
       Files.deleteIfExists(sentinel)
       rewrite()
@@ -448,11 +476,14 @@ object Commit {
     val isMedia = ExtractionPipeline.isMediaSpan
     def fp(df: DataFrame): String = {
       val cols = struct(df.columns.toIndexedSeq.map(col): _*)
-      val r = df.agg(
-        call_function("bit_xor", xxhash64(to_json(cols))).as("hx"),
-        count(lit(1)).as("n")).head()
-      val hx = if (r.isNullAt(0)) 0L else r.getLong(0)
-      s"xor:$hx:n:${r.getLong(1)} layout=rowgroup4m"
+      val r = df.select(xxhash64(to_json(cols)).as("h"))
+        .agg(expr("bit_xor(h)").as("hx"),
+          expr("bit_xor(DISTINCT h)").as("hxd"),
+          count(lit(1)).as("n")).head()
+      def nz(i: Int) = if (r.isNullAt(i)) 0L else r.getLong(i)
+      // two xor folds + count (see stageByChunkSlow): the distinct fold
+      // breaks the even-multiplicity cancellation of the plain fold
+      s"xor:${nz(0)}:${nz(1)}:n:${r.getLong(2)} layout=rowgroup4m"
     }
     val mediaClean = media.filter(col("media_ref") =!= lit(""))
       .select(col("media_ref"), col("bytes"))
@@ -463,7 +494,8 @@ object Commit {
       spark.catalog.tableExists(tasksTbl),
       reRegister = Some(() => registerBucketedTable(spark, tasksTbl,
         "doc_id STRING, offset INT, kind STRING, media_ref STRING",
-        s"$root/tasks", buckets))) { () =>
+        s"$root/tasks", buckets)),
+      dataDir = Some(root.resolve("tasks"))) { () =>
       spark.sql(s"DROP TABLE IF EXISTS $tasksTbl")
       mediaTasks
         .repartition(buckets, col("media_ref"))
@@ -475,7 +507,8 @@ object Commit {
     freshComponent(root, "media", mediaRefFingerprint(mediaClean),
       spark.catalog.tableExists(mediaTbl),
       reRegister = Some(() => registerBucketedTable(spark, mediaTbl,
-        "media_ref STRING, bytes BINARY", s"$root/media", buckets))) { () =>
+        "media_ref STRING, bytes BINARY", s"$root/media", buckets)),
+      dataDir = Some(root.resolve("media"))) { () =>
       writeBucketedMedia(spark, mediaClean, s"$root/media", mediaTbl, buckets)
     }
     freshComponent(root, "inline", fp(inlineTasks), tableOk = true) { () =>
@@ -524,7 +557,8 @@ object Commit {
     freshComponent(root, "media", mediaRefFingerprint(mediaClean),
       spark.catalog.tableExists(tbl),
       reRegister = Some(() => registerBucketedTable(spark, tbl,
-        "media_ref STRING, bytes BINARY", s"$root/media", buckets))) { () =>
+        "media_ref STRING, bytes BINARY", s"$root/media", buckets)),
+      dataDir = Some(root.resolve("media"))) { () =>
       writeBucketedMedia(spark, mediaClean, s"$root/media", tbl, buckets)
     }
     val snapTmp = root.resolve("._input_snapshot.tmp")
@@ -685,12 +719,40 @@ object Commit {
 
   /** Source snapshot id: stable fingerprint of the input's files/shape —
     * recorded in lineage so a manifest can be traced to its input.
+    *
+    * Each file contributes path + length + modificationTime (advisor,
+    * round 5): the path set alone misses a file rewritten IN PLACE
+    * under the same name (non-Spark tooling, object-store overwrite,
+    * same-name compaction), and the `_input_snapshot` fast paths skip
+    * the authoritative content fingerprints when the snapshot matches —
+    * so the cheap path must itself detect in-place rewrites. Statuses
+    * come from ONE listStatus per parent directory (not one RPC per
+    * file — a 100-TB table has many thousands of files).
     */
   def snapshotId(docs: DataFrame): String = {
     val files = docs.inputFiles.sorted
     val h = java.security.MessageDigest.getInstance("MD5")
-    files.foreach(f => h.update(f.getBytes("UTF-8")))
     if (files.isEmpty) h.update(docs.schema.catalogString.getBytes("UTF-8"))
+    else {
+      val conf = docs.sparkSession.sparkContext.hadoopConfiguration
+      // keys normalized through Path.toString on BOTH sides: inputFiles
+      // yields file:///x URIs, FileStatus.getPath file:/x — a raw-string
+      // lookup would silently miss every file
+      val statusByPath: Map[String, (Long, Long)] = files
+        .map(f => new org.apache.hadoop.fs.Path(f))
+        .groupBy(_.getParent)
+        .flatMap { case (parent, _) =>
+          try parent.getFileSystem(conf).listStatus(parent).toSeq
+            .map(s => s.getPath.toString ->
+              ((s.getLen, s.getModificationTime)))
+          catch { case _: java.io.IOException => Nil }
+        }
+      files.foreach { f =>
+        val key = new org.apache.hadoop.fs.Path(f).toString
+        val (len, mtime) = statusByPath.getOrElse(key, (-1L, -1L))
+        h.update(s"$f|$len|$mtime".getBytes("UTF-8"))
+      }
+    }
     h.digest().map("%02x".format(_)).mkString.take(16)
   }
 

@@ -103,12 +103,23 @@ object StreamingExtract {
     if (epochs.isEmpty)
       // no committed epoch: a statically-typed empty frame — the data
       // dir may hold only an uncommitted partial, or not exist at all,
-      // so reading it for a schema could throw (reviewer finding)
+      // so reading it for a schema could throw (reviewer finding).
+      // Schema INCLUDES the epoch partition column the committed branch
+      // gains from basePath discovery (advisor, round 5): both branches
+      // must return (doc fields..., epoch) or a consumer unioning
+      // outputs / reading positionally breaks on the empty case.
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.Encoders.product[graft.model.Doc].schema)
+        org.apache.spark.sql.types.StructType(
+          org.apache.spark.sql.Encoders.product[graft.model.Doc].schema.fields :+
+            org.apache.spark.sql.types.StructField(
+              "epoch", org.apache.spark.sql.types.LongType)))
     else
+      // partition discovery infers epoch as INT for small values — cast
+      // to long so the schema matches the empty branch exactly
       spark.read.option("basePath", s"$outDir/data")
         .parquet(epochs.map(e => s"$outDir/data/epoch=$e"): _*)
+        .withColumn("epoch",
+          org.apache.spark.sql.functions.col("epoch").cast("long"))
   }
 }

@@ -166,6 +166,52 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(files > 0, s"no checkpoint blocks under $dir")
   }
 
+  test("connectedComponents runs ONE action per round (convergence folded into the checkpoint write)") {
+    // round-5 verdict task: the changed-count must ride the labels-N
+    // materialization as an observe metric, not a second count() scan —
+    // O(log n) driver actions total, one per round plus the two setup
+    // saves (edges, labels-0). Counted via QueryExecutionListener: every
+    // driver action (write, count, checkpoint) fires exactly one
+    // onSuccess; the reliable-checkpoint mode also exposes the round
+    // count as the surviving labels-N table's N.
+    val dir = java.nio.file.Files.createTempDirectory("cc_actions").toString
+    val chain = (0L until 300L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val actions = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = { actions.incrementAndGet(); () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val got =
+      try {
+        val labels = DedupOps.connectedComponents(chain, "id_a", "id_b",
+          checkpointDir = Some(dir)).as[(Long, Long)].collect()
+        // the execution listener fires async — drain until stable
+        var prev = -1
+        while (actions.get != prev) { prev = actions.get; Thread.sleep(400) }
+        labels
+      } finally spark.listenerManager.unregister(listener)
+    assert(got.length == 301 && got.forall(_._2 == 0L))
+    import scala.jdk.CollectionConverters._
+    val names = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      try s.iterator().asScala.map(_.getFileName.toString).toSeq
+      finally s.close()
+    }
+    val rounds = names
+      .collectFirst { case s if s.matches("labels-\\d+") => s.drop(7).toInt }
+      .getOrElse(fail(s"no labels-N table under $dir: $names"))
+    assert(rounds >= 2, s"chain of 300 must take multiple rounds, got $rounds")
+    // exactly: edges save + labels-0 save + one action per round + the
+    // test's own collect. One extra per round = the old count() regressed.
+    assert(actions.get == 3 + rounds,
+      s"expected ${3 + rounds} actions (2 setup + $rounds rounds + 1 collect), got ${actions.get}")
+  }
+
   test("minhash pairs cluster into groups with one keeper per component") {
     // chain near-dups so transitivity matters: doc 0 ~ 1000 ~ 2000
     // (1000 and 2000 are near-dups of 0 through different token
