@@ -141,63 +141,244 @@ object SimilarityOps {
     withRank(top, idCol)
   }
 
-  /** IVF (inverted-file) top-k — the second ANN family beside the
-    * random-hyperplane LSH of [[lshTopK]]: a coarse quantizer assigns
-    * every vector to its nearest CENTROID CELL (argmax raw dot over a
-    * literal centroid matrix — a per-row HOF, zero shuffle; raw dot,
-    * not cosine, so no sqrt/division enters the cross-engine argmax),
-    * and a query probes only the `nprobe` nearest cells, exact-cosine
-    * re-ranking their members. At scale the cell column is the
-    * partition key: with C cells and nprobe probes the scan prunes to
-    * ~nprobe/C of the corpus (store the table partitioned/bucketed by
-    * cell and the probe join partition-prunes).
-    *
-    * Deterministic coarse quantizer: centroids are the vectors with
-    * id % centroidEvery == 0, first `maxCentroids` by id — the
-    * sampled-centroid bootstrap of classic IVF (a k-means refinement
-    * is a drop-in replacement for the centroid SET; assignment and
-    * probing are unchanged) chosen so the whole operator is
-    * oracle-checkable, like q26's neutral hyperplanes. The collect is
-    * bounded by `maxCentroids` (small constant), never corpus-sized.
-    * Tie-breaks are total: equal dots assign to the lowest cell
-    * index, ranks break on id.
+  // -------------------------------------------------------------------
+  // IVF (inverted-file) ANN — the second family beside the
+  // random-hyperplane LSH of [[lshTopK]], in its MATERIALIZED
+  // build/query form (round 6; the round-5 one-shot recomputed every
+  // vector's cell assignment inside every query's plan — a full-corpus
+  // C×D pass per query that could not partition-prune).
+  // -------------------------------------------------------------------
+
+  /** Handle to a materialized IVF index: the cell-partitioned table
+    * under `root/cells` (columns idCol, vecCol, partition column cell;
+    * one directory per cell) plus the exact centroid matrix the
+    * assignment used — persisted alongside the cells (centroids.json,
+    * shortest round-trip double rendering, so a fresh session reloads
+    * bit-identical centroids via [[ivfLoad]]).
     */
-  def ivfTopK(
+  final case class IvfIndex(
+      root: String, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]]) {
+    def cellsPath: String = s"$root/cells"
+  }
+
+  /** Driver-side twin of the assignment/probe dot product: the HOF
+    * fold `aggregate(zip_with(vec, c, x·c), 0.0, +)` sums strictly
+    * left-to-right, and this fold performs the identical IEEE sequence
+    * (Float→Double per element, multiply, running add) — so cells
+    * computed plan-side and probes ranked driver-side agree exactly.
+    */
+  def dotScala(vec: Seq[Double], c: Seq[Double]): Double = {
+    var acc = 0.0
+    var j = 0
+    val n = math.min(vec.length, c.length)
+    while (j < n) { acc += vec(j) * c(j); j += 1 }
+    acc
+  }
+
+  /** Deterministic sampled centroid bootstrap of classic IVF: the
+    * vectors with id % centroidEvery == 0, first `maxCentroids` by id
+    * — chosen so the whole operator is oracle-checkable, like q26's
+    * neutral hyperplanes. The collect is bounded by `maxCentroids`
+    * (small constant), never corpus-sized.
+    */
+  def sampleCentroids(
       embeddings: DataFrame, idCol: String, vecCol: String,
-      queryId: Long, k: Int, centroidEvery: Long = 64,
-      maxCentroids: Int = 64, nprobe: Int = 4): DataFrame = {
-    val cents: Seq[Seq[Double]] = embeddings
+      centroidEvery: Long, maxCentroids: Int): Seq[Seq[Double]] =
+    embeddings
       .filter(col(idCol) % centroidEvery === 0)
       .orderBy(col(idCol)).limit(maxCentroids)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
-    require(cents.nonEmpty, "no centroids sampled — lower centroidEvery")
+
+  /** argmax-raw-dot cell assignment over a literal centroid matrix — a
+    * per-row HOF, zero shuffle; raw dot, not cosine, so no
+    * sqrt/division enters the cross-engine argmax. Ties assign to the
+    * lowest cell index. dots are projected FIRST (argmax references
+    * the array twice, and a computed subtree re-evaluates per
+    * reference under interpreted HOFs).
+    */
+  private def withCellOf(
+      df: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[Seq[Double]]): DataFrame = {
     val mat = typedlit(cents)
-    def dotsTo(vec: Column): Column = transform(mat, c =>
-      aggregate(zip_with(vec, c, (x, cc) => x.cast("double") * cc),
-        lit(0.0), (acc, x) => acc + x))
-    // dots projected FIRST: argmax references the array twice, and a
-    // computed subtree re-evaluates per reference (interpreted HOFs)
-    val withDots = embeddings.select(col(idCol), col(vecCol),
-      dotsTo(col(vecCol)).as("dots"))
-    val withCell = withDots.select(col(idCol), col(vecCol),
-      (array_position(col("dots"), array_max(col("dots"))) - 1)
-        .cast("int").as("cell"))
-    // the query row reuses its projected dots for the probe ranking
-    val query = withDots.filter(col(idCol) === queryId)
-      .select(col(vecCol).as("query_vec"),
-        slice(transform(array_sort(
-          zip_with(col("dots"), sequence(lit(0), lit(cents.length - 1)),
-            (d, i) => struct((-d).as("negd"), i.as("cell")))),
-          s => s("cell")), 1, nprobe).as("probe_cells"))
-    val probes = query.select(col("query_vec"),
-      explode(col("probe_cells")).as("cell"))
-    val candidates = withCell.join(broadcast(probes), Seq("cell"))
+    df.select(col(idCol), col(vecCol),
+      transform(mat, c =>
+        aggregate(zip_with(col(vecCol), c, (x, cc) => x.cast("double") * cc),
+          lit(0.0), (acc, x) => acc + x)).as("dots"))
+      .select(col(idCol), col(vecCol),
+        (array_position(col("dots"), array_max(col("dots"))) - 1)
+          .cast("int").as("cell"))
+  }
+
+  /** Lloyd refinement of a centroid SET (assignment and probing are
+    * unchanged — the classic k-means fix for the sampled bootstrap's
+    * missing balance guarantee: a skewed corpus puts most vectors in
+    * few sampled cells and nprobe recall collapses). Each iteration is
+    * ONE DataFrame pass: assign by argmax raw dot, groupBy cell, one
+    * codegen'd sum per dimension, collect ≤ |centroids| rows, average
+    * driver-side. Empty cells keep their previous centroid. NOTE:
+    * double summation order across partitions is nondeterministic, so
+    * refined centroids vary in ulps across runs — refinement is an
+    * engine-side option (refineIters = 0 stays the oracle path).
+    */
+  def refineCentroids(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      init: Seq[Seq[Double]], iters: Int): Seq[Seq[Double]] = {
+    var cents = init
+    val dims = init.headOption.map(_.length).getOrElse(0)
+    (0 until iters).foreach { _ =>
+      val assigned = withCellOf(embeddings, idCol, vecCol, cents)
+      val sums = (0 until dims).map(j =>
+        sum(element_at(col(vecCol), j + 1).cast("double")).as(s"s$j"))
+      val rows = assigned.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .collect()
+        .map(r => r.getInt(0) -> r).toMap
+      cents = cents.zipWithIndex.map { case (c, i) =>
+        rows.get(i) match {
+          case Some(r) if r.getLong(1) > 0 =>
+            val n = r.getLong(1).toDouble
+            (0 until dims).map(j => r.getDouble(j + 2) / n)
+          case _ => c
+        }
+      }
+    }
+    cents
+  }
+
+  /** Build the materialized IVF index: assignment computed ONCE over
+    * the corpus, written `partitionBy("cell")` so queries
+    * partition-prune to their probed cells — the compute-once /
+    * probe-many split (the reference's Redis OCR cache,
+    * app/utils/ocr_engine.py:123-135, is the same split at document
+    * grain). `sortWithinPartitions(cell)` keeps one open writer per
+    * task; within a cell file ids arrive in scan order, so id-lookup
+    * row-group stats stay tight. The centroid matrix is persisted next
+    * to the cells; reload with [[ivfLoad]]. `refineIters > 0` runs
+    * [[refineCentroids]] first.
+    *
+    * Balance is observable, not silent: [[ivfCellStats]] reports
+    * per-cell populations (the no-silent-caps convention, parity with
+    * [[DedupOps.minhashOversizedBuckets]]).
+    */
+  def ivfBuild(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      indexDir: String, centroidEvery: Long = 64,
+      maxCentroids: Int = 64, refineIters: Int = 0): IvfIndex = {
+    val sampled = sampleCentroids(embeddings, idCol, vecCol,
+      centroidEvery, maxCentroids)
+    require(sampled.nonEmpty, "no centroids sampled — lower centroidEvery")
+    val cents =
+      if (refineIters > 0)
+        refineCentroids(embeddings, idCol, vecCol, sampled, refineIters)
+      else sampled
+    withCellOf(embeddings, idCol, vecCol, cents)
+      .sortWithinPartitions(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexDir/cells")
+    // java.lang.Double.toString is the shortest exact round-trip
+    // rendering; parsing it back yields the identical bits
+    val json = "{\"idCol\":\"" + idCol + "\",\"vecCol\":\"" + vecCol +
+      "\",\"centroids\":[" +
+      cents.map(_.map(d => java.lang.Double.toString(d))
+        .mkString("[", ",", "]")).mkString(",") + "]}"
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(indexDir, "centroids.json"), json)
+    IvfIndex(indexDir, idCol, vecCol, cents)
+  }
+
+  /** Reload an index handle written by [[ivfBuild]] (fresh session /
+    * query-only deployment — nothing is recomputed).
+    */
+  def ivfLoad(indexDir: String): IvfIndex = {
+    val json = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(indexDir, "centroids.json"))
+    def field(name: String): String =
+      ("\"" + name + "\":\"([^\"]*)\"").r.findFirstMatchIn(json)
+        .getOrElse(sys.error(s"bad centroids.json: no $name")).group(1)
+    val cents = "\\[([^\\[\\]]+)\\]".r.findAllMatchIn(
+        json.substring(json.indexOf("\"centroids\"")))
+      .map(_.group(1).split(",").map(_.toDouble).toSeq).toSeq
+    IvfIndex(indexDir, field("idCol"), field("vecCol"), cents)
+  }
+
+  /** Per-cell populations of a built index — the balance report a
+    * deployment checks before trusting nprobe recall (one hot cell =
+    * the degenerate-bucket problem; fix with `refineIters`).
+    */
+  def ivfCellStats(spark: org.apache.spark.sql.SparkSession,
+      index: IvfIndex): DataFrame =
+    spark.read.parquet(index.cellsPath)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+
+  /** Query a materialized index with an explicit query vector: probe
+    * cells are ranked DRIVER-SIDE against the persisted centroids
+    * (≤ C dot products — no corpus scan, no join), and the candidate
+    * read partition-prunes to exactly the `nprobe` probed cells
+    * (PartitionFilters on `cell` — PlanSpec-asserted): with C cells
+    * the query touches ~nprobe/C of the corpus, and the plan is
+    * scan → project(cosine) → TakeOrderedAndProject, join-free.
+    */
+  def ivfQuery(
+      spark: org.apache.spark.sql.SparkSession, index: IvfIndex,
+      queryVec: Seq[Double], k: Int, nprobe: Int): DataFrame = {
+    // descending dot, ties → lowest cell: the exact order the round-5
+    // in-plan array_sort over struct(-d, cell) produced (primitive ==
+    // treats -0.0/0.0 as the same tie both here and in SQL ordering)
+    val probes = index.centroids.zipWithIndex
+      .map { case (c, i) => (dotScala(queryVec, c), i) }
+      .sortWith((a, b) => if (a._1 != b._1) a._1 > b._1 else a._2 < b._2)
+      .take(nprobe).map(_._2)
+    val candidates = spark.read.parquet(index.cellsPath)
+      .filter(col("cell").isin(probes.map(Int.box): _*))
+    val qv = typedlit(queryVec)
     val top = candidates
-      .select(col(idCol),
-        round(cosine(col(vecCol), col("query_vec")), 6).as("cos_sim"))
-      .orderBy(col("cos_sim").desc, col(idCol).asc).limit(k)
-    withRank(top, idCol)
+      .select(col(index.idCol),
+        round(cosine(col(index.vecCol), qv), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(index.idCol).asc).limit(k)
+    withRank(top, index.idCol)
+  }
+
+  /** [[ivfQuery]] with the query vector fetched by id from the index
+    * itself — a pushed-filter, column-pruned lookup (row-group stats
+    * prune on id; a production deployment would front this with a
+    * key-value lookup).
+    */
+  def ivfQueryById(
+      spark: org.apache.spark.sql.SparkSession, index: IvfIndex,
+      queryId: Long, k: Int, nprobe: Int): DataFrame = {
+    val qv = spark.read.parquet(index.cellsPath)
+      .filter(col(index.idCol) === queryId)
+      .select(col(index.vecCol)).head()
+      .getSeq[Float](0).map(_.toDouble).toSeq
+    ivfQuery(spark, index, qv, k, nprobe)
+  }
+
+  /** One-shot IVF top-k: [[ivfBuild]] into `indexDir` (a fresh temp
+    * dir when omitted) then [[ivfQuery]] — kept as the single-call
+    * convenience the q35 oracle exercises. The lattice (sampled
+    * centroids, argmax-raw-dot assignment, descending-dot probe
+    * ranking, exact-cosine re-rank, id tie-breaks) is unchanged from
+    * the round-5 in-plan form, so the oracle is unchanged — but the
+    * assignment now happens exactly once, materialized, and the
+    * query's scan reads ONLY the probed cell partitions.
+    */
+  def ivfTopK(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, centroidEvery: Long = 64,
+      maxCentroids: Int = 64, nprobe: Int = 4,
+      indexDir: Option[String] = None): DataFrame = {
+    val spark = embeddings.sparkSession
+    val dir = indexDir.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_ivf").toString)
+    val index = ivfBuild(embeddings, idCol, vecCol, dir,
+      centroidEvery, maxCentroids)
+    // the query vector comes from the source frame (pushed filter on
+    // id, column-pruned) — not another corpus pass
+    val qv = embeddings.filter(col(idCol) === queryId)
+      .select(col(vecCol)).head().getSeq[Float](0).map(_.toDouble).toSeq
+    ivfQuery(spark, index, qv, k, nprobe)
   }
 
   /** Batch embedding near-dup pairs, LSH-bucketed — the scale shape

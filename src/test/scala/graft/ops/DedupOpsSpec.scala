@@ -326,6 +326,97 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(planted.get._2 >= 0.9999, planted.get.toString)
   }
 
+  test("ivfBuild/ivfQuery: build-once materialized index; queries read ONLY probed cells") {
+    // round-5 verdict task 1: the assignment pass runs ONCE (build);
+    // every query is a partition-pruned read of the cell table plus
+    // ≤ C driver-side dot products — no corpus rescan, no join.
+    val vrng = new scala.util.Random(23)
+    def randVec(): Array[Float] =
+      Array.fill(16)((vrng.nextDouble() * 2 - 1).toFloat)
+    val base = (0 until 200).map(i => (i.toLong, randVec()))
+    val v0 = base.head._2.clone()
+    v0(0) = v0(0) + 1e-4f
+    val root = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    // corpus on DISK so "which files does the query scan" is observable
+    (base :+ (999L, v0)).toDF("vec_id", "embedding")
+      .write.parquet(s"$root/src")
+    val emb = spark.read.parquet(s"$root/src")
+    val index = SimilarityOps.ivfBuild(emb, "vec_id", "embedding",
+      s"$root/index", centroidEvery = 16, maxCentroids = 8)
+    // every corpus row landed in exactly one cell
+    val stats = SimilarityOps.ivfCellStats(spark, index)
+      .as[(Int, Long)].collect()
+    assert(stats.map(_._2).sum == 201L, stats.mkString(", "))
+    assert(stats.forall(s => s._1 >= 0 && s._1 < 8), stats.mkString(", "))
+    val q1 = SimilarityOps.ivfQueryById(spark, index, queryId = 0L,
+      k = 3, nprobe = 3)
+    // the query's ONLY input is the index — the source parquet is not
+    // in the plan (build-once/query-many: a second query costs the
+    // same pruned read, zero assignment work)
+    assert(q1.inputFiles.nonEmpty &&
+      q1.inputFiles.forall(_.contains("/index/cells")),
+      q1.inputFiles.take(3).mkString(", "))
+    val top = q1.select("vec_id", "cos_sim", "rank")
+      .as[(Long, Double, Int)].collect().sortBy(_._3)
+    assert(top.head._1 == 0L && top.head._2 == 1.0, top.mkString(", "))
+    assert(top.exists(_._1 == 999L), top.mkString(", "))
+    // a fresh handle reloaded from disk carries bit-identical centroids
+    // and returns the identical result (query-only deployment)
+    val re = SimilarityOps.ivfLoad(s"$root/index")
+    assert(re.centroids == index.centroids)
+    val qv = base.head._2.map(_.toDouble).toSeq
+    val top2 = SimilarityOps.ivfQuery(spark, re, qv, k = 3, nprobe = 3)
+      .select("vec_id", "cos_sim", "rank")
+      .as[(Long, Double, Int)].collect().sortBy(_._3)
+    assert(top2.toSeq == top.toSeq, s"${top2.mkString(",")} vs ${top.mkString(",")}")
+  }
+
+  test("ivfBuild(refineIters): Lloyd refinement beats sampled centroids on a skewed corpus") {
+    // round-5 verdict task 2: the deterministic sampled bootstrap has
+    // no balance guarantee — on a skewed clustered-Gaussian corpus
+    // where EVERY sampled centroid falls inside the one big cluster,
+    // small-cluster members scatter across noise-defined cells and
+    // nprobe recall collapses. Lloyd iterations migrate centroids onto
+    // the actual clusters. Scenario pinned from a seeded sweep (seeds
+    // 1-3 × noise 0.4/0.8: refined mean recall 1.00 everywhere,
+    // sampled 0.74-0.97); the sampled path is fully deterministic, the
+    // refined path varies by summation-order ulps only — margins are
+    // wide on both sides.
+    val rng = new scala.util.Random(1)
+    val dims = 16
+    val means = Array.fill(8)(
+      Array.fill(dims)((rng.nextDouble() * 2 - 1) * 3.0))
+    def mk(cluster: Int, id: Long) = (id,
+      means(cluster).map(m => (m + rng.nextGaussian() * 0.8).toFloat))
+    // cluster 0: ids 0..399 — every sampled id (id % 50 == 0, first 8)
+    // is inside it; clusters 1..7: 40 ids each from 400
+    val all = (0 until 400).map(i => mk(0, i.toLong)) ++
+      (0 until 7).flatMap(c =>
+        (0 until 40).map(i => mk(c + 1, 400L + c * 40 + i)))
+    val df = all.toDF("vec_id", "embedding")
+    val root = java.nio.file.Files.createTempDirectory("ivf_refine").toString
+    def meanRecall(refineIters: Int, tag: String): Double = {
+      val idx = SimilarityOps.ivfBuild(df, "vec_id", "embedding",
+        s"$root/$tag", centroidEvery = 50, maxCentroids = 8,
+        refineIters = refineIters)
+      val recalls = (0 until 7).map { c =>
+        val qid = 400L + c * 40
+        val truth = SimilarityOps.bruteForceTopK(df, "vec_id", "embedding",
+          qid, 10).select("vec_id").as[Long].collect().toSet
+        val got = SimilarityOps.ivfQueryById(spark, idx, qid, 10, nprobe = 2)
+          .select("vec_id").as[Long].collect().toSet
+        truth.intersect(got).size.toDouble / 10
+      }
+      recalls.sum / recalls.length
+    }
+    val sampledRecall = meanRecall(0, "sampled")
+    val refinedRecall = meanRecall(5, "refined")
+    assert(sampledRecall < 0.85,
+      f"scenario lost its skew: sampled recall $sampledRecall%.2f")
+    assert(refinedRecall >= 0.9 && refinedRecall > sampledRecall + 0.1,
+      f"refined $refinedRecall%.2f must beat sampled $sampledRecall%.2f")
+  }
+
   test("lshTopK (default splitmix hyperplanes) surfaces a planted near-identical vector") {
     val vrng = new scala.util.Random(7)
     def randVec(): Array[Float] =

@@ -160,6 +160,15 @@ class PlanSpec extends AnyFunSuite {
       emb, "vec_id", "embedding", queryId = 0L, k = 10))
     assert(ivf.contains("TakeOrderedAndProject"), ivf.take(3000))
     assert(!ivf.contains("Window"), ivf.take(3000))
+    // round-6 materialized index: the query is JOIN-FREE (probe cells
+    // are driver-side literals against the persisted centroids) and its
+    // scan PARTITION-PRUNES to the nprobe probed cells — the round-5
+    // full-corpus re-assignment scan is structurally impossible here
+    assert(!ivf.contains("Join"), ivf.take(3000))
+    val pf = ivf.linesIterator.find(_.contains("PartitionFilters"))
+      .getOrElse("")
+    assert(pf.contains("cell") && pf.contains("IN"),
+      s"ivf query must partition-prune on cell, got: $pf\n${ivf.take(3000)}")
   }
 
   test("no registered query plan contains a nested-loop or cartesian join") {
