@@ -548,11 +548,49 @@ object Queries {
     // multiples of 64), argmax-raw-dot cell assignment, nprobe=4
     // probed cells, exact-cosine re-rank — the whole lattice replayed
     // by the oracle (assignment uses raw dots, so no sqrt/division
-    // enters the cross-engine argmax decision).
+    // enters the cross-engine argmax decision). Since round 6 the call
+    // goes through the MATERIALIZED build/query split (ivfBuild writes
+    // the cell-partitioned index, ivfQuery partition-prunes to the
+    // probed cells) — the lattice, and hence this oracle, is unchanged.
     "q35_ivf_topk" -> ((s, dir) =>
       SimilarityOps.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
         queryId = 0L, k = 10, centroidEvery = 64, maxCentroids = 64,
-        nprobe = 4))
+        nprobe = 4)),
+
+    // End of the IMAGE dedup story under ONE oracle (round-6 task,
+    // mirroring how q33 composed the text family): the q32 planted
+    // raster corpus through the REAL dataflow — bytes → mapPartitions
+    // decode (imageDHashes) → banded candidates + hamming verify
+    // (imageNearDupPairs) → connected components → anti-join
+    // (dropNearDups) — survivors only. Keeper = lexicographic minimum
+    // media_ref per component ('img_k' < 'img_k_b'); undecodable
+    // payloads (NULL dhash) enter no pair and must SURVIVE — the
+    // composition points the q33 machinery at string ids and proves
+    // NULL-hash rows flow through the closure untouched.
+    "q36_image_drop_neardups" -> ((s, dir) => {
+      import s.implicits._
+      val keys = t(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 200).as[Long]
+      val images = keys.mapPartitions(_.flatMap { k =>
+        val h = DedupOps.md5Hash64Scala(s"img:$k")
+        val base = Iterator((s"img_$k",
+          graft.kernel.GlyphFont.toPng(MediaOps.hashRaster(h), 9, 8)))
+        val twin =
+          if (k % 3 == 0) Iterator((s"img_${k}_b",
+            graft.kernel.GlyphFont.toPng(
+              MediaOps.hashRaster(h ^ (1L << (k % 60).toInt)), 9, 8)))
+          else Iterator.empty
+        val poison =
+          if (k % 7 == 0) Iterator((s"img_${k}_x", Array[Byte](0, 1, 2, 3)))
+          else Iterator.empty
+        base ++ twin ++ poison
+      }).toDF("media_ref", "bytes")
+      val hashes = MediaOps.imageDHashes(images)
+      val pairs = MediaOps.imageNearDupPairs(hashes,
+        maxHamming = 6, bandBits = 8, maxBucket = 1000)
+      DedupOps.dropNearDups(hashes, "media_ref", pairs)
+        .select(col("media_ref"))
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -1039,6 +1077,46 @@ object Queries {
                   row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rank
            FROM cand)
          SELECT vec_id, cos_sim, CAST(rank AS INTEGER) AS rank
-         FROM ranked WHERE rank <= 10"""
+         FROM ranked WHERE rank <= 10""",
+
+    // Image one-call dedup twin: the full q32 band/hamming lattice
+    // produces the verified pair set over the planted dHash values, a
+    // recursive-CTE transitive closure labels the components over
+    // STRING ids (least = lexicographic minimum, matching Spark's
+    // min-label propagation on strings), and survivors are everything
+    // — poison refs with NULL hashes included — except non-minimum
+    // component members.
+    "q36_image_drop_neardups" ->
+      """WITH RECURSIVE
+         k AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+         h0 AS (
+           SELECT 'img_' || CAST(doc_id AS VARCHAR) AS id,
+                  CAST('0x' || substr(md5('img:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS dhash
+           FROM k
+           UNION ALL
+           SELECT 'img_' || CAST(doc_id AS VARCHAR) || '_b',
+                  xor(CAST('0x' || substr(md5('img:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT),
+                      CAST(1 AS BIGINT) << CAST(doc_id % 60 AS INTEGER))
+           FROM k WHERE doc_id % 3 = 0),
+         ids AS (SELECT id FROM h0
+                 UNION ALL
+                 SELECT 'img_' || CAST(doc_id AS VARCHAR) || '_x'
+                 FROM k WHERE doc_id % 7 = 0),
+         bands AS (
+           SELECT id, b, (dhash >> (b * 8)) & 255 AS bucket
+           FROM h0, range(0, 8) r(b)
+           QUALIFY count(*) OVER (PARTITION BY b, bucket) BETWEEN 2 AND 1000),
+         cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                  FROM bands a JOIN bands b ON a.b = b.b AND a.bucket = b.bucket AND a.id < b.id),
+         prs AS (SELECT id_a, id_b
+                 FROM cand JOIN h0 ha ON ha.id = id_a JOIN h0 hb ON hb.id = id_b
+                 WHERE bit_count(xor(ha.dhash, hb.dhash)) <= 6),
+         e AS (SELECT id_a AS a, id_b AS b FROM prs UNION SELECT id_b AS a, id_a AS b FROM prs),
+         reach AS (SELECT a AS src, b AS dst FROM e
+                   UNION
+                   SELECT r.src, e.b AS dst FROM reach r JOIN e ON r.dst = e.a),
+         lab AS (SELECT src AS id, least(src, min(dst)) AS cluster FROM reach GROUP BY src)
+         SELECT id AS media_ref FROM ids
+         WHERE id NOT IN (SELECT id FROM lab WHERE cluster <> id)"""
   )
 }
