@@ -162,39 +162,56 @@ object Bench {
     // SPARK_GRAFT_SKIP_QUERIES=1 -> pipeline-only timing (tight scaling
     // trials on a noisy-neighbour box need short runs)
     val skipQueries = skipQueriesEnv
-    // a failed query reports -1.0, NOT its time-to-crash (a crash
-    // timed as a fast run would silently flatter the table), and
-    // contributes nothing to the total
+    // a failed query reports null, NOT its time-to-crash (a crash
+    // timed as a fast run would silently flatter the table) and NOT a
+    // sentinel like -1.0 (downstream aggregation — the pooled
+    // cross-round medians — would average it in silently; advisor,
+    // round 5). null makes a naive consumer fail loudly; the total
+    // excludes failures either way.
     def timeQuery(
         fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : Double = {
+        : Option[Double] = {
       val q0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); (System.nanoTime() - q0) / 1e9 }
-      catch { case _: Throwable => -1.0 }
+      try { fn(spark, sfDir).count(); Some((System.nanoTime() - q0) / 1e9) }
+      catch { case _: Throwable => None }
     }
+    def render(v: Option[Double]): String =
+      v.map(s => f"$s%.3f").getOrElse("null")
     val results = (if (skipQueries) Map.empty[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame]
       else SparkEntry.queries).toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> timeQuery(fn)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + render(v) }
       .mkString("{", ",", "}")
-    // Warm second runs for the big HOF-lattice queries (round-4 verdict
-    // task 5): their cold first-run time is dominated by Catalyst
-    // plan-compile of the guard lattice, not execution — measure the
-    // split instead of asserting it. The warm pass re-plans the same
-    // query tree (fresh DataFrame) but hits the JVM's warmed codegen/
-    // JIT state; "queries" stays the cold run for cross-round
-    // comparability.
+    // Warm MEDIAN-OF-3 runs for the big HOF-lattice queries (round-4
+    // verdict task 5 measured the cold/warm split; round-5 task 4
+    // demands the committed artifact be noise-resistant): the cold
+    // first run is dominated by Catalyst plan-compile of the guard
+    // lattice and stays in "queries" for cross-round comparability;
+    // each warm entry is the MEDIAN of three fresh re-plans under
+    // warmed codegen/JIT state, so one host-steal burst cannot skew
+    // the committed number. Raw passes ride along in
+    // queries_warm_runs for forensics.
     val warmSet = Set("q24_minhash_lsh", "q27_embedding_neardup",
-      "q30_neardup_clusters", "q32_image_neardup", "q33_drop_neardups")
-    val warm = (if (skipQueries) Map.empty[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame]
+      "q30_neardup_clusters", "q32_image_neardup", "q33_drop_neardups",
+      "q36_image_drop_neardups")
+    val warmRuns = (if (skipQueries) Map.empty[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame]
       else SparkEntry.queries.view.filterKeys(warmSet).toMap)
-      .toSeq.sortBy(_._1).map { case (name, fn) => name -> timeQuery(fn) }
+      .toSeq.sortBy(_._1).map { case (name, fn) =>
+        name -> (1 to 3).map(_ => timeQuery(fn))
+      }
+    def medianOf(vs: Seq[Option[Double]]): Option[Double] = {
+      val ok = vs.flatten.sorted
+      if (ok.isEmpty) None else Some(ok(ok.length / 2))
+    }
     val warmJson =
-      if (warm.isEmpty) ""
-      else warm.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-        .mkString(""","queries_warm":{""", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum + extractSec + invoiceSec
+      if (warmRuns.isEmpty) ""
+      else warmRuns.map { case (k, vs) => "\"" + k + "\":" + render(medianOf(vs)) }
+        .mkString(""","queries_warm":{""", ",", "}") +
+        warmRuns.map { case (k, vs) =>
+          "\"" + k + "\":" + vs.map(render).mkString("[", ",", "]")
+        }.mkString(""","queries_warm_runs":{""", ",", "}")
+    val total = results.flatMap(_._2).sum + extractSec + invoiceSec
     // headline throughput is MEDIAN-based (round-3 verdict: best-of
     // flatters on this bursty VM — the per-pass spread was 6×);
     // best-pass throughput stays in the JSON as docs_per_sec_best

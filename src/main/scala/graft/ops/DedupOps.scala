@@ -478,4 +478,19 @@ object DedupOps {
   /** Hamming distance between two simhash values (near-dup if small). */
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** Band decomposition of a 64-bit hash: the 64/bandBits contiguous
+    * bandBits-bit slices as (band, bucket) structs — the shared
+    * banding unit of [[MediaOps.imageNearDupPairs]] and the streaming
+    * near-dup guard. Pigeonhole: two hashes within hamming distance
+    * d < 64/bandBits share at least one identical band.
+    */
+  def hashBands64(h: Column, bandBits: Int): Column = {
+    require(64 % bandBits == 0, "bandBits must divide 64")
+    val mask = (1L << bandBits) - 1
+    transform(sequence(lit(0), lit(64 / bandBits - 1)), b =>
+      struct(b.as("band"),
+        call_function("shiftright", h, b * lit(bandBits))
+          .bitwiseAND(lit(mask)).as("bucket")))
+  }
 }

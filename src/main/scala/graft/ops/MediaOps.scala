@@ -113,16 +113,10 @@ object MediaOps {
       maxHamming: Int = 6,
       bandBits: Int = 8,
       maxBucket: Int = 1000): DataFrame = {
-    require(64 % bandBits == 0, "bandBits must divide 64")
-    val nBands = 64 / bandBits
-    val mask = (1L << bandBits) - 1
     val clean = hashes.filter(col("dhash").isNotNull)
       .select(col("media_ref").as("id"), col("dhash"))
     val bands = clean.select(col("id"),
-      explode(transform(sequence(lit(0), lit(nBands - 1)), b =>
-        struct(b.as("band"),
-          call_function("shiftright", col("dhash"), b * lit(bandBits))
-            .bitwiseAND(lit(mask)).as("bucket")))).as("bb"))
+      explode(DedupOps.hashBands64(col("dhash"), bandBits)).as("bb"))
     val smallBuckets = bands.groupBy(col("bb"))
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n").between(2, maxBucket))
@@ -154,14 +148,8 @@ object MediaOps {
       hashes: DataFrame,
       bandBits: Int = 8,
       maxBucket: Int = 1000): DataFrame = {
-    require(64 % bandBits == 0, "bandBits must divide 64")
-    val nBands = 64 / bandBits
-    val mask = (1L << bandBits) - 1
     hashes.filter(col("dhash").isNotNull)
-      .select(explode(transform(sequence(lit(0), lit(nBands - 1)), b =>
-        struct(b.as("band"),
-          call_function("shiftright", col("dhash"), b * lit(bandBits))
-            .bitwiseAND(lit(mask)).as("bucket")))).as("bb"))
+      .select(explode(DedupOps.hashBands64(col("dhash"), bandBits)).as("bb"))
       .groupBy(col("bb.band").as("band"), col("bb.bucket").as("bucket"))
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") > maxBucket)

@@ -2,7 +2,9 @@ package graft.pipeline
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.ops.DedupOps
 
 /** §2.9 — Structured Streaming ingestion. The reference is batch with
   * polling, so streaming was out of parity scope; this is the
@@ -33,6 +35,24 @@ object StreamingExtract {
     * task metadata, never payloads, never a broadcast — the 10^12-doc
     * posture for a streaming deployment. Default keeps `extract`'s
     * gated broadcast.
+    *
+    * `dedupGuard = true` (round 6) drops near-duplicate documents ON
+    * ARRIVAL, before they pay extraction: each batch doc's 64-bit
+    * SimHash over its inline span text ([[DedupOps.simhash64]] — the
+    * q25 machinery) is banded ([[DedupOps.hashBands64]], the q32
+    * machinery) and anti-joined against the hashes of every COMMITTED
+    * epoch; a band collision verified to hamming ≤ `guardMaxHamming`
+    * is a drop. Within one batch, exact-fingerprint dups keep the
+    * minimum doc_id. Accepted fingerprints persist to
+    * `out/_hashes/epoch=<id>` under the SAME manifest commit point as
+    * the data, so replays neither lose nor double-count hashes, and a
+    * crashed epoch's hashes are invisible (committed-epochs-only, like
+    * [[readOutput]]). Defaults mirror the image family's pigeonhole
+    * pairing: 8-bit bands guarantee every hamming ≤ 6 pair shares a
+    * band. Cross-batch NEAR-dups are caught; in-batch near-dups (same
+    * epoch, nonzero hamming) are not — the batch is one arrival unit;
+    * run the batch dedup operators over the committed output for
+    * full closure.
     */
   def run(
       spark: SparkSession,
@@ -43,7 +63,10 @@ object StreamingExtract {
       partitions: Int = 32,
       continuous: Boolean = false,
       maxFilesPerTrigger: Int = 100,
-      bucketedMediaBuckets: Option[Int] = None): StreamingQuery = {
+      bucketedMediaBuckets: Option[Int] = None,
+      dedupGuard: Boolean = false,
+      guardMaxHamming: Int = 6,
+      guardBandBits: Int = 8): StreamingQuery = {
     // file stream needs an explicit schema; take it from the batch
     // reader of the same directory (cheap footer read)
     val schema = spark.read.parquet(docsDir).schema
@@ -59,14 +82,38 @@ object StreamingExtract {
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         val manifest = Paths.get(outDir, "_manifest", s"epoch-$epochId.json")
         if (!Files.exists(manifest)) { // replayed epoch → already committed
+          val accepted =
+            if (!dedupGuard) batch
+            else {
+              val withFp = batch.withColumn("_fp", DedupOps.simhash64(
+                array_join(transform(col("spans"), sp => sp("text")), " ")))
+              val seen = readCommittedHashes(spark, outDir)
+              val batchBands = withFp.select(col("doc_id"), col("_fp"),
+                explode(DedupOps.hashBands64(col("_fp"), guardBandBits)).as("bb"))
+              val seenBands = seen.select(col("fp").as("_seen_fp"),
+                explode(DedupOps.hashBands64(col("fp"), guardBandBits)).as("bb"))
+              val dupIds = batchBands.join(seenBands, Seq("bb"))
+                .filter(DedupOps.hamming64(col("_fp"), col("_seen_fp"))
+                  <= guardMaxHamming)
+                .select(col("doc_id")).distinct()
+              // in-batch exact dups: one keeper (min doc_id) per fp
+              val keepers = withFp.groupBy(col("_fp"))
+                .agg(min(col("doc_id")).as("doc_id"))
+              withFp.join(dupIds, Seq("doc_id"), "left_anti")
+                .join(keepers, Seq("_fp", "doc_id"), "left_semi")
+            }
           val out = (mediaTable, bucketedMediaBuckets) match {
             case (Some(tbl), Some(b)) =>
               ExtractionPipeline.extractVsBucketedMedia(
-                spark, batch, tbl, b, partitions)
+                spark, accepted.drop("_fp"), tbl, b, partitions)
             case _ =>
-              ExtractionPipeline.extract(batch, media, partitions)
+              ExtractionPipeline.extract(accepted.drop("_fp"), media, partitions)
           }
           out.write.mode("overwrite").parquet(s"$outDir/data/epoch=$epochId")
+          if (dedupGuard)
+            accepted.select(col("_fp").as("fp")).distinct()
+              .write.mode("overwrite")
+              .parquet(s"$outDir/_hashes/epoch=$epochId")
           val rows = spark.read.parquet(s"$outDir/data/epoch=$epochId").count()
           val tmp = Paths.get(outDir, "_manifest", s".epoch-$epochId.json.tmp")
           Files.writeString(tmp, s"""{"epoch":$epochId,"rowCount":$rows}""")
@@ -80,6 +127,42 @@ object StreamingExtract {
     q
   }
 
+  /** Epoch ids with a committed manifest — the only epochs any reader
+    * may see (advisor, round 4).
+    */
+  private def committedEpochList(outDir: String): Seq[Long] = {
+    import scala.jdk.CollectionConverters._
+    val mDir = Paths.get(outDir, "_manifest")
+    if (!Files.isDirectory(mDir)) Nil
+    else {
+      val s = Files.list(mDir)
+      try s.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case n if n.matches("epoch-\\d+\\.json") =>
+          n.stripPrefix("epoch-").stripSuffix(".json").toLong }
+        .toSeq.sorted
+      finally s.close()
+    }
+  }
+
+  /** The dedup guard's committed fingerprint table: the union of every
+    * committed epoch's accepted SimHash values. Epochs committed with
+    * the guard off simply have no hash dir. Distinct — the table is a
+    * membership set, not a multiset.
+    */
+  def readCommittedHashes(spark: SparkSession, outDir: String): DataFrame = {
+    val dirs = committedEpochList(outDir)
+      .map(e => s"$outDir/_hashes/epoch=$e")
+      .filter(p => Files.isDirectory(Paths.get(p)))
+    if (dirs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(
+            "fp", org.apache.spark.sql.types.LongType))))
+    else spark.read.parquet(dirs: _*).select(col("fp")).distinct()
+  }
+
   /** Read the committed streaming output — COMMITTED epochs only,
     * mirroring [[Commit.readOutput]]'s committed-only contract: an
     * epoch directory written but never manifest-renamed (crash between
@@ -87,19 +170,7 @@ object StreamingExtract {
     * until the replay overwrites and commits it (advisor, round 4).
     */
   def readOutput(spark: SparkSession, outDir: String): DataFrame = {
-    import scala.jdk.CollectionConverters._
-    val mDir = Paths.get(outDir, "_manifest")
-    val epochs =
-      if (!Files.isDirectory(mDir)) Nil
-      else {
-        val s = Files.list(mDir)
-        try s.iterator().asScala
-          .map(_.getFileName.toString)
-          .collect { case n if n.matches("epoch-\\d+\\.json") =>
-            n.stripPrefix("epoch-").stripSuffix(".json").toLong }
-          .toSeq.sorted
-        finally s.close()
-      }
+    val epochs = committedEpochList(outDir)
     if (epochs.isEmpty)
       // no committed epoch: a statically-typed empty frame — the data
       // dir may hold only an uncommitted partial, or not exist at all,
@@ -119,7 +190,6 @@ object StreamingExtract {
       // to long so the schema matches the empty branch exactly
       spark.read.option("basePath", s"$outDir/data")
         .parquet(epochs.map(e => s"$outDir/data/epoch=$e"): _*)
-        .withColumn("epoch",
-          org.apache.spark.sql.functions.col("epoch").cast("long"))
+        .withColumn("epoch", col("epoch").cast("long"))
   }
 }

@@ -58,6 +58,57 @@ class StreamingExtractSpec extends AnyFunSuite {
     assert(mismatches == 0L)
   }
 
+  test("dedup guard drops wave-2 near-dups and exact dups of committed wave-1 docs on arrival") {
+    import spark.implicits._
+    import graft.model.{Doc, Span}
+    val streamDir = Files.createTempDirectory("graft_guard_in").toString
+    val outDir = Files.createTempDirectory("graft_guard_out").toString
+    val ckpt = Files.createTempDirectory("graft_guard_ckpt").toString
+    val emptyMedia = Seq.empty[graft.model.MediaBlob].toDF()
+    def textDoc(id: String, text: String) =
+      Doc(id, Seq(Span("text", text, "", 0)))
+    val t1 = (0 until 60).map(i => s"alpha$i").mkString(" ")
+    val t2 = (0 until 60).map(i => s"bravo$i").mkString(" ")
+    val t2near = ((0 until 59).map(i => s"bravo$i") :+ "charlie").mkString(" ")
+    val t3 = (0 until 60).map(i => s"delta$i").mkString(" ")
+    // scenario sanity (deterministic — xxhash64 over fixed tokens): the
+    // planted near-dup must sit within the guard radius, the fresh doc
+    // far outside it
+    val hams = Seq((t2, t2near), (t2, t3)).toDF("a", "b")
+      .select(graft.ops.DedupOps.hamming64(
+        graft.ops.DedupOps.simhash64(col("a")),
+        graft.ops.DedupOps.simhash64(col("b"))).cast("int"))
+      .as[Int].collect()
+    assert(hams(0) <= 12, s"planted near-dup hamming ${hams(0)} > guard radius")
+    assert(hams(1) > 12, s"fresh doc hamming ${hams(1)} inside guard radius")
+
+    // wave 1: two distinct docs + an IN-BATCH exact dup (keeper = min id)
+    Seq(textDoc("w1-a", t1), textDoc("w1-b", t2), textDoc("w1-c", t1))
+      .toDF().coalesce(1).write.mode("append").parquet(streamDir)
+    StreamingExtract.run(spark, streamDir, emptyMedia, outDir, ckpt,
+      partitions = 4, dedupGuard = true,
+      guardMaxHamming = 12, guardBandBits = 4).awaitTermination()
+    val after1 = StreamingExtract.readOutput(spark, outDir)
+      .select("doc_id").as[String].collect().toSet
+    assert(after1 == Set("w1-a", "w1-b"),
+      s"in-batch exact dup must keep min doc_id: $after1")
+
+    // wave 2: an exact dup of w1-a, a near-dup of w1-b (one of 60
+    // tokens changed), and a genuinely new doc — only the new doc may
+    // pay extraction and commit
+    Seq(textDoc("w2-dup", t1), textDoc("w2-near", t2near),
+        textDoc("w2-new", t3))
+      .toDF().coalesce(1).write.mode("append").parquet(streamDir)
+    StreamingExtract.run(spark, streamDir, emptyMedia, outDir, ckpt,
+      partitions = 4, dedupGuard = true,
+      guardMaxHamming = 12, guardBandBits = 4).awaitTermination()
+    val after2 = StreamingExtract.readOutput(spark, outDir)
+      .select("doc_id").as[String].collect().toSet
+    assert(after2 == Set("w1-a", "w1-b", "w2-new"), after2.toString)
+    // the guard's committed hash table covers exactly the accepted docs
+    assert(StreamingExtract.readCommittedHashes(spark, outDir).count() == 3L)
+  }
+
   test("streaming over the BUCKETED no-broadcast media join matches goldens across restart") {
     val corpus = Files.createTempDirectory("graft_streamb_corpus").toString
     CorpusGen.write(spark, corpus,
