@@ -21,6 +21,19 @@ import graft.ops.DedupOps
   */
 object StreamingExtract {
 
+  /** The guard's document fingerprint: SimHash over every span's
+    * inline text AND media_ref. The refs matter — a media-only
+    * document has NO inline text, and a text-blind fingerprint would
+    * collapse every such doc to one hash (all dropped as "dups");
+    * refs are also the honest dedup key for media spans, since the
+    * sidecar is static and shared (two docs referencing the same
+    * payload with the same text ARE duplicates).
+    */
+  def docFingerprint(spans: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    DedupOps.simhash64(array_join(
+      transform(spans, sp => concat_ws(" ", sp("text"), sp("media_ref"))),
+      " "))
+
   /** Start (or resume, given the same checkpoint) a streaming
     * extraction over `docsDir`. `Trigger.AvailableNow`: drain
     * everything currently available, then stop — the testable batch
@@ -38,12 +51,13 @@ object StreamingExtract {
     *
     * `dedupGuard = true` (round 6) drops near-duplicate documents ON
     * ARRIVAL, before they pay extraction: each batch doc's 64-bit
-    * SimHash over its inline span text ([[DedupOps.simhash64]] — the
-    * q25 machinery) is banded ([[DedupOps.hashBands64]], the q32
-    * machinery) and anti-joined against the hashes of every COMMITTED
-    * epoch; a band collision verified to hamming ≤ `guardMaxHamming`
-    * is a drop. Within one batch, exact-fingerprint dups keep the
-    * minimum doc_id. Accepted fingerprints persist to
+    * fingerprint ([[docFingerprint]] — SimHash over span texts AND
+    * media_refs; [[DedupOps.simhash64]], the q25 machinery) is banded
+    * ([[DedupOps.hashBands64]], the q32 machinery) and anti-joined
+    * against the hashes of every COMMITTED epoch; a band collision
+    * verified to hamming ≤ `guardMaxHamming` is a drop. Within one
+    * batch, exact-fingerprint dups keep the minimum doc_id. Accepted
+    * fingerprints persist to
     * `out/_hashes/epoch=<id>` under the SAME manifest commit point as
     * the data, so replays neither lose nor double-count hashes, and a
     * crashed epoch's hashes are invisible (committed-epochs-only, like
@@ -85,8 +99,7 @@ object StreamingExtract {
           val accepted =
             if (!dedupGuard) batch
             else {
-              val withFp = batch.withColumn("_fp", DedupOps.simhash64(
-                array_join(transform(col("spans"), sp => sp("text")), " ")))
+              val withFp = batch.withColumn("_fp", docFingerprint(col("spans")))
               val seen = readCommittedHashes(spark, outDir)
               val batchBands = withFp.select(col("doc_id"), col("_fp"),
                 explode(DedupOps.hashBands64(col("_fp"), guardBandBits)).as("bb"))

@@ -73,40 +73,56 @@ class StreamingExtractSpec extends AnyFunSuite {
     val t3 = (0 until 60).map(i => s"delta$i").mkString(" ")
     // scenario sanity (deterministic — xxhash64 over fixed tokens): the
     // planted near-dup must sit within the guard radius, the fresh doc
-    // far outside it
-    val hams = Seq((t2, t2near), (t2, t3)).toDF("a", "b")
-      .select(graft.ops.DedupOps.hamming64(
-        graft.ops.DedupOps.simhash64(col("a")),
-        graft.ops.DedupOps.simhash64(col("b"))).cast("int"))
-      .as[Int].collect()
-    assert(hams(0) <= 12, s"planted near-dup hamming ${hams(0)} > guard radius")
-    assert(hams(1) > 12, s"fresh doc hamming ${hams(1)} inside guard radius")
+    // far outside it. Measured through the guard's OWN fingerprint
+    // (docFingerprint covers texts + media_refs), not raw simhash.
+    def fpOf(d: Doc): Long = Seq(d).toDF()
+      .select(StreamingExtract.docFingerprint(col("spans")))
+      .as[Long].head()
+    val ham2near = java.lang.Long.bitCount(
+      fpOf(textDoc("x", t2)) ^ fpOf(textDoc("x", t2near)))
+    val ham23 = java.lang.Long.bitCount(
+      fpOf(textDoc("x", t2)) ^ fpOf(textDoc("x", t3)))
+    assert(ham2near <= 12, s"planted near-dup hamming $ham2near > guard radius")
+    assert(ham23 > 12, s"fresh doc hamming $ham23 inside guard radius")
 
-    // wave 1: two distinct docs + an IN-BATCH exact dup (keeper = min id)
-    Seq(textDoc("w1-a", t1), textDoc("w1-b", t2), textDoc("w1-c", t1))
+    // wave 1: two distinct docs + an IN-BATCH exact dup (keeper = min
+    // id) + a MEDIA-ONLY doc (no inline text — its fingerprint must
+    // come from the ref, not collapse with other media-only docs)
+    Seq(textDoc("w1-a", t1), textDoc("w1-b", t2), textDoc("w1-c", t1),
+        Doc("w1-img1", Seq(Span("png", "", "m1.png", 0))))
       .toDF().coalesce(1).write.mode("append").parquet(streamDir)
+    // media-only docs must NOT collide: their fingerprints differ via
+    // the refs (deterministic precondition, like ham23 above)
+    def imgDoc(id: String, ref: String) =
+      Doc(id, Seq(Span("png", "", ref, 0)))
+    val hamImgs = java.lang.Long.bitCount(
+      fpOf(imgDoc("x", "m1.png")) ^ fpOf(imgDoc("x", "m2.png")))
+    assert(hamImgs > 12, s"media-only docs collide at hamming $hamImgs")
     StreamingExtract.run(spark, streamDir, emptyMedia, outDir, ckpt,
       partitions = 4, dedupGuard = true,
       guardMaxHamming = 12, guardBandBits = 4).awaitTermination()
     val after1 = StreamingExtract.readOutput(spark, outDir)
       .select("doc_id").as[String].collect().toSet
-    assert(after1 == Set("w1-a", "w1-b"),
+    assert(after1 == Set("w1-a", "w1-b", "w1-img1"),
       s"in-batch exact dup must keep min doc_id: $after1")
 
     // wave 2: an exact dup of w1-a, a near-dup of w1-b (one of 60
-    // tokens changed), and a genuinely new doc — only the new doc may
-    // pay extraction and commit
+    // tokens changed), a dup media-only doc (same ref as w1-img1), a
+    // DISTINCT media-only doc, and a genuinely new text doc — only the
+    // last two may pay extraction and commit
     Seq(textDoc("w2-dup", t1), textDoc("w2-near", t2near),
-        textDoc("w2-new", t3))
+        textDoc("w2-new", t3), imgDoc("w2-img-dup", "m1.png"),
+        imgDoc("w2-img2", "m2.png"))
       .toDF().coalesce(1).write.mode("append").parquet(streamDir)
     StreamingExtract.run(spark, streamDir, emptyMedia, outDir, ckpt,
       partitions = 4, dedupGuard = true,
       guardMaxHamming = 12, guardBandBits = 4).awaitTermination()
     val after2 = StreamingExtract.readOutput(spark, outDir)
       .select("doc_id").as[String].collect().toSet
-    assert(after2 == Set("w1-a", "w1-b", "w2-new"), after2.toString)
+    assert(after2 == Set("w1-a", "w1-b", "w1-img1", "w2-new", "w2-img2"),
+      after2.toString)
     // the guard's committed hash table covers exactly the accepted docs
-    assert(StreamingExtract.readCommittedHashes(spark, outDir).count() == 3L)
+    assert(StreamingExtract.readCommittedHashes(spark, outDir).count() == 5L)
   }
 
   test("streaming over the BUCKETED no-broadcast media join matches goldens across restart") {
