@@ -211,6 +211,34 @@ object Bench {
         warmRuns.map { case (k, vs) =>
           "\"" + k + "\":" + vs.map(render).mkString("[", ",", "]")
         }.mkString(""","queries_warm_runs":{""", ",", "}")
+    // --- IVF build/query split (round 6) ------------------------------
+    // The materialized index exists for compute-once/probe-many;
+    // quantify that split in the committed artifact: one timed
+    // ivfBuild over the sf embeddings, then five timed ivfQuery calls
+    // (median) — each query reads ONLY the nprobe probed cell
+    // partitions, so its latency is the per-probe cost a serving
+    // deployment pays, not the build's corpus pass (q35 in "queries"
+    // stays the fused one-shot for cross-round comparability).
+    val ivfJson = if (skipQueries) "" else {
+      try {
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val ivfDir = java.nio.file.Files
+          .createTempDirectory("graft_bench_ivf").toString
+        val b0 = System.nanoTime()
+        val index = graft.ops.SimilarityOps.ivfBuild(
+          emb, "vec_id", "embedding", ivfDir)
+        val buildSec = (System.nanoTime() - b0) / 1e9
+        val qv = emb.filter(col("vec_id") === 0L).select(col("embedding"))
+          .head().getSeq[Float](0).map(_.toDouble).toSeq
+        val qSecs = (1 to 5).map { _ =>
+          val t0 = System.nanoTime()
+          graft.ops.SimilarityOps.ivfQuery(spark, index, qv, 10, 4).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val qMed = qSecs.sorted.apply(qSecs.length / 2)
+        f""","ivf_build_sec":$buildSec%.3f,"ivf_query_sec_median":$qMed%.3f,"ivf_query_secs":${qSecs.map(s => f"$s%.3f").mkString("[", ",", "]")}"""
+      } catch { case _: Throwable => ""","ivf_build_sec":null""" }
+    }
     val total = results.flatMap(_._2).sum + extractSec + invoiceSec
     // headline throughput is MEDIAN-based (round-3 verdict: best-of
     // flatters on this bursty VM — the per-pass spread was 6×);
@@ -223,7 +251,7 @@ object Bench {
     // JVM's best-of-different-windows overstates concurrent throughput
     val secsArr = runSecs.map(s => f"$s%.3f").mkString("[", ",", "]")
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$warmJson,"sf":"$sfDir","docs_per_sec":$docsPerSec%.1f,"docs_per_sec_best":$docsPerSecBest%.1f,"spans_per_sec":$spansPerSec%.1f,"extract_sec":$extractSec%.3f,"extract_sec_median":$extractSecMedian%.3f,"extract_secs":$secsArr,"measure_runs":$measureRuns,"invoice_sec":$invoiceSec%.3f$stagedJson,"bench_docs":$docCount,"invoices":$invoiceCount,"cpus":$cpus}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$warmJson$ivfJson,"sf":"$sfDir","docs_per_sec":$docsPerSec%.1f,"docs_per_sec_best":$docsPerSecBest%.1f,"spans_per_sec":$spansPerSec%.1f,"extract_sec":$extractSec%.3f,"extract_sec_median":$extractSecMedian%.3f,"extract_secs":$secsArr,"measure_runs":$measureRuns,"invoice_sec":$invoiceSec%.3f$stagedJson,"bench_docs":$docCount,"invoices":$invoiceCount,"cpus":$cpus}"""
     println(json)
     // belt-and-braces for log-prefix scrapers: the same line lands in a file
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach(p =>
