@@ -590,6 +590,25 @@ object Queries {
         maxHamming = 6, bandBits = 8, maxBucket = 1000)
       DedupOps.dropNearDups(hashes, "media_ref", pairs)
         .select(col("media_ref"))
+    }),
+
+    // Batch ANN serving shape (round 6): ONE materialized index build,
+    // ONE plan answering five queries (vec_id multiples of 100).
+    // Probe cells are computed plan-side per query row against the
+    // build's centroid matrix; the index scan partition-prunes to the
+    // union of probed cells; top-k ranks under a window PARTITIONED
+    // by query id (hash-distributed — never the global sort). The
+    // lattice per query is exactly q35's, so the twin extends q35's
+    // SQL with a query dimension.
+    "q37_ivf_batch" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_ivf_batch").toString
+      val index = SimilarityOps.ivfBuild(emb, "vec_id", "embedding", tmp,
+        centroidEvery = 64, maxCentroids = 64)
+      SimilarityOps.ivfQueryBatch(s, index,
+        emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+        k = 5, nprobe = 4)
     })
   )
 
@@ -1117,6 +1136,57 @@ object Queries {
                    SELECT r.src, e.b AS dst FROM reach r JOIN e ON r.dst = e.a),
          lab AS (SELECT src AS id, least(src, min(dst)) AS cluster FROM reach GROUP BY src)
          SELECT id AS media_ref FROM ids
-         WHERE id NOT IN (SELECT id FROM lab WHERE cluster <> id)"""
+         WHERE id NOT IN (SELECT id FROM lab WHERE cluster <> id)""",
+
+    // Batch IVF twin: q35's lattice with a query dimension — probe
+    // ranking per query (descending raw dot, cell-index tie-break),
+    // candidates joined on probed cells, and the final rank
+    // PARTITIONED by query id, mirroring the engine's per-query
+    // window.
+    "q37_ivf_batch" ->
+      """WITH cents AS (
+           SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cidx,
+                  embedding AS cvec
+           FROM (SELECT vec_id, embedding FROM embeddings
+                 WHERE vec_id % 64 = 0 ORDER BY vec_id LIMIT 64)),
+         dots AS (
+           SELECT e.vec_id, e.embedding, c.cidx,
+                  list_sum(list_transform(range(1, len(e.embedding) + 1),
+                    j -> CAST(e.embedding[j] AS DOUBLE) * CAST(c.cvec[j] AS DOUBLE))) AS d
+           FROM embeddings e CROSS JOIN cents c),
+         assign AS (
+           SELECT vec_id, embedding, cidx AS cell FROM (
+             SELECT vec_id, embedding, cidx,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cidx) AS rn
+             FROM dots) WHERE rn = 1),
+         qs AS (SELECT vec_id AS query_id, embedding AS qv
+                FROM embeddings WHERE vec_id % 100 = 0),
+         probes AS (
+           SELECT query_id, cidx AS cell FROM (
+             SELECT q.query_id, d.cidx,
+                    row_number() OVER (PARTITION BY q.query_id ORDER BY d.d DESC, d.cidx) AS rn
+             FROM dots d JOIN qs q ON d.vec_id = q.query_id) WHERE rn <= 4),
+         cand AS (
+           -- explicit double-precision fold, NOT list_cosine_similarity:
+           -- the builtin accumulates in float32 and lands half an ulp
+           -- away at the 6-dp rounding boundary on larger candidate
+           -- sets; this mirrors the engine's double fold exactly
+           SELECT p.query_id, a.vec_id,
+                  round(
+                    list_sum(list_transform(range(1, len(a.embedding) + 1),
+                      j -> CAST(a.embedding[j] AS DOUBLE) * CAST(q.qv[j] AS DOUBLE)))
+                    / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                         j -> CAST(a.embedding[j] AS DOUBLE) * CAST(a.embedding[j] AS DOUBLE))))
+                     * sqrt(list_sum(list_transform(range(1, len(q.qv) + 1),
+                         j -> CAST(q.qv[j] AS DOUBLE) * CAST(q.qv[j] AS DOUBLE)))))
+                  , 6) AS cos_sim
+           FROM assign a JOIN probes p ON a.cell = p.cell
+                JOIN qs q ON q.query_id = p.query_id),
+         ranked AS (
+           SELECT query_id, vec_id, cos_sim,
+                  row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
+           FROM cand)
+         SELECT query_id, vec_id, cos_sim, CAST(rank AS INTEGER) AS rank
+         FROM ranked WHERE rank <= 5"""
   )
 }

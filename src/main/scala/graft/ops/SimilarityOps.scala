@@ -340,6 +340,68 @@ object SimilarityOps {
     withRank(top, index.idCol)
   }
 
+  /** Batch ANN over a materialized index: ONE plan answers MANY
+    * queries — the serving shape when queries arrive in batches
+    * rather than one at a time. Per query row, probe cells are
+    * computed PLAN-SIDE against the same literal centroid matrix the
+    * build used (top-`nprobe` by descending raw dot, cell-index
+    * tie-break — the exact [[ivfQuery]] ranking, expressed as
+    * array_sort over struct(-d, cell), where SQL comparison treats
+    * -0.0 and 0.0 as the same tie the driver-side primitive `==`
+    * does). The index scan still partition-prunes: the union of
+    * probed cells is collected first (bounded by the number of
+    * centroids C — never query- or corpus-sized) and becomes an
+    * `isin` on the partition column, so only probed partitions are
+    * read even when the query batch is a DataFrame. Candidates then
+    * join queries ON cell — each vector lives in exactly one cell, so
+    * no per-query dedup is needed — and top-k ranks per query under a
+    * window PARTITIONED BY query id: hash-distributed across
+    * executors, never the single-partition global sort the suite
+    * forbids. Output: (query_id, idCol, cos_sim, rank).
+    *
+    * Scale: the query side carries Q×nprobe rows (id, vector, cell) —
+    * tiny next to the probed corpus slice, so Spark broadcasts it;
+    * past the broadcast threshold the join degrades to a shuffle hash
+    * on cell, where AQE's skew split handles hot cells (and
+    * [[ivfCellStats]] + `refineIters` exist to keep cells balanced).
+    */
+  def ivfQueryBatch(
+      spark: org.apache.spark.sql.SparkSession, index: IvfIndex,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, nprobe: Int): DataFrame = {
+    val mat = typedlit(index.centroids)
+    val nc = index.centroids.length
+    val probed = queries
+      .select(col(qidCol).as("query_id"), col(qvecCol).as("_qvec"),
+        // dots projected FIRST (interpreted-HOF pitfall: a computed
+        // subtree referenced inside a later lambda re-evaluates per
+        // element)
+        transform(mat, c =>
+          aggregate(zip_with(col(qvecCol), c, (x, cc) => x.cast("double") * cc),
+            lit(0.0), (acc, x) => acc + x)).as("_dots"))
+      .select(col("query_id"), col("_qvec"),
+        explode(transform(
+          slice(array_sort(zip_with(
+            col("_dots"), sequence(lit(0), lit(nc - 1)),
+            (d, i) => struct((-d).as("nd"), i.as("cell")))), 1, nprobe),
+          p => p("cell").cast("int"))).as("cell"))
+    // bounded collect: ≤ C distinct cells across the whole batch — the
+    // prune set for PartitionFilters, independent of Q and corpus size
+    val cellSet = probed.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val candidates = spark.read.parquet(index.cellsPath)
+      .filter(col("cell").isin(cellSet.map(Int.box): _*))
+    val scored = candidates.join(probed, Seq("cell"))
+      .select(col("query_id"), col(index.idCol),
+        round(cosine(col(index.vecCol), col("_qvec")), 6).as("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col(index.idCol).asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+  }
+
   /** [[ivfQuery]] with the query vector fetched by id from the index
     * itself — a pushed-filter, column-pruned lookup (row-group stats
     * prune on id; a production deployment would front this with a

@@ -371,6 +371,60 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(top2.toSeq == top.toSeq, s"${top2.mkString(",")} vs ${top.mkString(",")}")
   }
 
+  test("ivfQueryBatch: one plan answers many queries, pruned scan, per-query rank") {
+    // the batch serving shape: plan-side probe ranking must agree
+    // EXACTLY with ivfQuery's driver-side ranking (same descending-dot,
+    // cell-index tie-break), the index scan must still read only
+    // probed cells, and the final rank must be a window PARTITIONED by
+    // query id — never the global sort the suite forbids.
+    val vrng = new scala.util.Random(29)
+    def randVec(): Array[Float] =
+      Array.fill(16)((vrng.nextDouble() * 2 - 1).toFloat)
+    val base = (0 until 200).map(i => (i.toLong, randVec()))
+    val root = java.nio.file.Files.createTempDirectory("ivf_batch").toString
+    val emb = base.toDF("vec_id", "embedding")
+    val index = SimilarityOps.ivfBuild(emb, "vec_id", "embedding",
+      s"$root/index", centroidEvery = 16, maxCentroids = 8)
+    // 2 queries x nprobe 2 ≤ 4 of the 8 cells — pruning stays visible
+    val qids = Seq(0L, 17L)
+    val batch = SimilarityOps.ivfQueryBatch(spark, index,
+      emb.filter(col("vec_id").isin(qids.map(Long.box): _*)),
+      "vec_id", "embedding", k = 4, nprobe = 2)
+    // 1) per-query agreement with the single-query path, bit for bit
+    val got = batch.select(col("query_id").cast("long"), col("vec_id"),
+      col("cos_sim"), col("rank")).as[(Long, Long, Double, Int)]
+      .collect().groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3, r._4))
+        .sortBy(_._3).toSeq).toMap
+    assert(got.keySet == qids.toSet, got.keySet.toString)
+    qids.foreach { q =>
+      val single = SimilarityOps.ivfQueryById(spark, index, q, k = 4, nprobe = 2)
+        .select("vec_id", "cos_sim", "rank")
+        .as[(Long, Double, Int)].collect().sortBy(_._3).toSeq
+      assert(got(q) == single, s"query $q: ${got(q)} vs $single")
+    }
+    // 2) the corpus never re-enters the plan: every file the plan can
+    // touch is the index's cell table (the query frame is in-memory
+    // here), and the scan PARTITION-PRUNES — the IN-list on the cell
+    // partition column holds at most Q x nprobe of the 8 cells
+    // (inputFiles reports the UNPRUNED file index, so the pruning
+    // evidence is the PartitionFilters line, as in PlanSpec)
+    assert(batch.inputFiles.forall(_.contains("/index/cells")),
+      batch.inputFiles.take(3).mkString(", "))
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(out) { batch.explain("formatted") }
+    val p = out.toString
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    val inList = "IN \\(([^)]*)\\)".r.findFirstMatchIn(pf)
+      .map(_.group(1).split(",").length).getOrElse(-1)
+    assert(pf.contains("cell") && inList > 0 && inList <= 4,
+      s"scan must prune to <= Q x nprobe = 4 of 8 cells, got: $pf")
+    // 3) rank is a query-partitioned window (hash-distributed), and the
+    // plan holds no all-pairs join
+    assert(p.contains("windowspecdefinition(query_id"), p.take(3000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
   test("ivfBuild(refineIters): Lloyd refinement beats sampled centroids on a skewed corpus") {
     // round-5 verdict task 2: the deterministic sampled bootstrap has
     // no balance guarantee — on a skewed clustered-Gaussian corpus
