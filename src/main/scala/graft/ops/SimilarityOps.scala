@@ -288,6 +288,31 @@ object SimilarityOps {
     IvfIndex(indexDir, idCol, vecCol, cents)
   }
 
+  /** Incrementally add vectors to a materialized index — the classic
+    * IVF insert: the centroid matrix is FROZEN (assignment stays the
+    * exact argmax the build used, so append-then-query ≡
+    * rebuild-over-the-union bit for bit), new vectors are assigned in
+    * one pass and appended into their cell partitions. Queries see
+    * the new vectors with zero rebuild and zero touch of existing
+    * rows — the arriving-corpus counterpart of build-once/query-many.
+    * Cost: one scan of ONLY the new batch + one partitioned append;
+    * the existing 10^12-row table is never read or rewritten.
+    *
+    * Durability note: a parquet append is not atomic — a production
+    * deployment routes batches through an epoch manifest exactly like
+    * [[graft.pipeline.StreamingExtract]]'s committed-epochs-only
+    * output (same machinery, vector grain). Drift note: appends skew
+    * cell balance over time; watch [[ivfCellStats]] and rebuild with
+    * `refineIters > 0` when a cell runs hot.
+    */
+  def ivfAppend(index: IvfIndex, newVectors: DataFrame): IvfIndex = {
+    withCellOf(newVectors, index.idCol, index.vecCol, index.centroids)
+      .sortWithinPartitions(col("cell"))
+      .write.mode("append").partitionBy("cell")
+      .parquet(index.cellsPath)
+    index
+  }
+
   /** Reload an index handle written by [[ivfBuild]] (fresh session /
     * query-only deployment — nothing is recomputed).
     */

@@ -371,6 +371,56 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(top2.toSeq == top.toSeq, s"${top2.mkString(",")} vs ${top.mkString(",")}")
   }
 
+  test("ivfAppend: frozen-centroid insert ≡ rebuild over the union, existing cells untouched") {
+    // the arriving-corpus path: appending a batch must (1) place each
+    // new vector in the exact cell a full rebuild would (centroids
+    // frozen → same argmax), (2) never rewrite existing files, and
+    // (3) make planted twins immediately visible to queries.
+    val vrng = new scala.util.Random(31)
+    def randVec(): Array[Float] =
+      Array.fill(16)((vrng.nextDouble() * 2 - 1).toFloat)
+    val all = (0 until 200).map(i => (i.toLong, randVec()))
+    val (first, rest) = all.splitAt(150)
+    val v0 = all.head._2.clone()
+    v0(0) = v0(0) + 1e-4f // near-twin of vector 0, arriving late
+    val root = java.nio.file.Files.createTempDirectory("ivf_append").toString
+    // centroid sample (id % 16 == 0, first 8) is identical over 150
+    // and 200 rows, so both indexes share the exact centroid matrix
+    val grown = SimilarityOps.ivfBuild(first.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", s"$root/grown", centroidEvery = 16,
+      maxCentroids = 8)
+    val preFiles = new java.io.File(s"$root/grown/cells").listFiles()
+      .filter(_.isDirectory)
+      .flatMap(d => d.listFiles().map(f => f.getPath -> f.lastModified()))
+      .toMap
+    SimilarityOps.ivfAppend(grown,
+      (rest :+ (999L, v0)).toDF("vec_id", "embedding"))
+    val full = SimilarityOps.ivfBuild(
+      (all :+ (999L, v0)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", s"$root/full", centroidEvery = 16,
+      maxCentroids = 8)
+    assert(grown.centroids == full.centroids)
+    // per-cell contents identical to the rebuild (same ids per cell)
+    val cellsOf = (idx: SimilarityOps.IvfIndex) =>
+      spark.read.parquet(idx.cellsPath).select("cell", "vec_id")
+        .as[(Int, Long)].collect().toSet
+    assert(cellsOf(grown) == cellsOf(full))
+    // append touched nothing that existed: every pre-append file
+    // survives byte-dated, only NEW files joined the partitions
+    preFiles.foreach { case (path, mtime) =>
+      val f = new java.io.File(path)
+      assert(f.exists() && f.lastModified() == mtime, s"rewrote $path")
+    }
+    // the late twin is immediately queryable, identically on both
+    val q = (idx: SimilarityOps.IvfIndex) =>
+      SimilarityOps.ivfQueryById(spark, idx, 0L, k = 3, nprobe = 3)
+        .select("vec_id", "cos_sim", "rank")
+        .as[(Long, Double, Int)].collect().sortBy(_._3).toSeq
+    val got = q(grown)
+    assert(got == q(full), s"$got vs ${q(full)}")
+    assert(got.exists(_._1 == 999L), got.mkString(", "))
+  }
+
   test("ivfQueryBatch: one plan answers many queries, pruned scan, per-query rank") {
     // the batch serving shape: plan-side probe ranking must agree
     // EXACTLY with ivfQuery's driver-side ranking (same descending-dot,
