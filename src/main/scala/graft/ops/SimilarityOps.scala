@@ -154,13 +154,33 @@ object SimilarityOps {
     * one directory per cell) plus the exact centroid matrix the
     * assignment used — persisted alongside the cells (centroids.json,
     * shortest round-trip double rendering, so a fresh session reloads
-    * bit-identical centroids via [[ivfLoad]]).
+    * bit-identical centroids via [[ivfLoad]]). `deltas` are committed
+    * per-epoch delta tables (same cell-partitioned layout) written by
+    * [[graft.pipeline.StreamingIndex]]; queries read base ∪ deltas,
+    * each root partition-pruning independently.
     */
   final case class IvfIndex(
       root: String, idCol: String, vecCol: String,
-      centroids: Seq[Seq[Double]]) {
+      centroids: Seq[Seq[Double]], deltas: Seq[String] = Nil) {
     def cellsPath: String = s"$root/cells"
+    def dataPaths: Seq[String] = cellsPath +: deltas
   }
+
+  /** The index's rows: base cells plus every committed delta. Each
+    * root is read separately (own partition discovery) and unioned, so
+    * a `cell` filter partition-prunes inside EVERY branch — pruning
+    * survives the union.
+    */
+  private def readCells(
+      spark: org.apache.spark.sql.SparkSession, index: IvfIndex): DataFrame =
+    index.dataPaths.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+
+  /** Assign rows to the index's cells with its frozen centroid matrix
+    * — the exact argmax the build used, exposed for incremental paths
+    * ([[ivfAppend]], [[graft.pipeline.StreamingIndex]]).
+    */
+  def assignCells(df: DataFrame, index: IvfIndex): DataFrame =
+    withCellOf(df, index.idCol, index.vecCol, index.centroids)
 
   /** Driver-side twin of the assignment/probe dot product: the HOF
     * fold `aggregate(zip_with(vec, c, x·c), 0.0, +)` sums strictly
@@ -314,7 +334,10 @@ object SimilarityOps {
   }
 
   /** Reload an index handle written by [[ivfBuild]] (fresh session /
-    * query-only deployment — nothing is recomputed).
+    * query-only deployment — nothing is recomputed). Committed
+    * streaming deltas under the index root are picked up automatically
+    * — an epoch delta written but never manifest-renamed (crash) stays
+    * invisible until its replay commits it.
     */
   def ivfLoad(indexDir: String): IvfIndex = {
     val json = java.nio.file.Files.readString(
@@ -325,7 +348,37 @@ object SimilarityOps {
     val cents = "\\[([^\\[\\]]+)\\]".r.findAllMatchIn(
         json.substring(json.indexOf("\"centroids\"")))
       .map(_.group(1).split(",").map(_.toDouble).toSeq).toSeq
-    IvfIndex(indexDir, field("idCol"), field("vecCol"), cents)
+    IvfIndex(indexDir, field("idCol"), field("vecCol"), cents,
+      ivfCommittedDeltaEpochs(indexDir).map(e => ivfDeltaPath(indexDir, e)))
+  }
+
+  // --- streaming delta layout (written by pipeline.StreamingIndex) ---
+  // root/delta/epoch-<id>/cell=<c>/...  the delta rows
+  // root/_delta_manifest/epoch-<id>.json  the atomic commit point
+
+  def ivfDeltaPath(indexDir: String, epoch: Long): String =
+    s"$indexDir/delta/epoch-$epoch"
+
+  def ivfDeltaManifest(indexDir: String, epoch: Long): java.nio.file.Path =
+    java.nio.file.Paths.get(indexDir, "_delta_manifest", s"epoch-$epoch.json")
+
+  /** Epoch ids with a committed delta manifest — the only deltas any
+    * reader may see (the committed-epochs-only contract of
+    * [[graft.pipeline.StreamingExtract.readOutput]], at vector grain).
+    */
+  def ivfCommittedDeltaEpochs(indexDir: String): Seq[Long] = {
+    import scala.jdk.CollectionConverters._
+    val mDir = java.nio.file.Paths.get(indexDir, "_delta_manifest")
+    if (!java.nio.file.Files.isDirectory(mDir)) Nil
+    else {
+      val s = java.nio.file.Files.list(mDir)
+      try s.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case n if n.matches("epoch-\\d+\\.json") =>
+          n.stripPrefix("epoch-").stripSuffix(".json").toLong }
+        .toSeq.sorted
+      finally s.close()
+    }
   }
 
   /** Per-cell populations of a built index — the balance report a
@@ -334,7 +387,7 @@ object SimilarityOps {
     */
   def ivfCellStats(spark: org.apache.spark.sql.SparkSession,
       index: IvfIndex): DataFrame =
-    spark.read.parquet(index.cellsPath)
+    readCells(spark, index)
       .groupBy(col("cell")).agg(count(lit(1)).as("n"))
 
   /** Query a materialized index with an explicit query vector: probe
@@ -355,7 +408,7 @@ object SimilarityOps {
       .map { case (c, i) => (dotScala(queryVec, c), i) }
       .sortWith((a, b) => if (a._1 != b._1) a._1 > b._1 else a._2 < b._2)
       .take(nprobe).map(_._2)
-    val candidates = spark.read.parquet(index.cellsPath)
+    val candidates = readCells(spark, index)
       .filter(col("cell").isin(probes.map(Int.box): _*))
     val qv = typedlit(queryVec)
     val top = candidates
@@ -414,7 +467,7 @@ object SimilarityOps {
     // prune set for PartitionFilters, independent of Q and corpus size
     val cellSet = probed.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val candidates = spark.read.parquet(index.cellsPath)
+    val candidates = readCells(spark, index)
       .filter(col("cell").isin(cellSet.map(Int.box): _*))
     val scored = candidates.join(probed, Seq("cell"))
       .select(col("query_id"), col(index.idCol),
@@ -435,7 +488,7 @@ object SimilarityOps {
   def ivfQueryById(
       spark: org.apache.spark.sql.SparkSession, index: IvfIndex,
       queryId: Long, k: Int, nprobe: Int): DataFrame = {
-    val qv = spark.read.parquet(index.cellsPath)
+    val qv = readCells(spark, index)
       .filter(col(index.idCol) === queryId)
       .select(col(index.vecCol)).head()
       .getSeq[Float](0).map(_.toDouble).toSeq

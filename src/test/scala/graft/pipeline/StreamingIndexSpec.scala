@@ -1,0 +1,105 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+import graft.ops.SimilarityOps
+
+/** Streaming ANN index maintenance: arriving embedding batches become
+  * committed cell-partitioned deltas; queries see exactly the
+  * committed union; restart is idempotent; compaction folds deltas
+  * into the base without changing any answer.
+  */
+class StreamingIndexSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("stream → delta epochs: frozen-centroid growth ≡ rebuild, committed-only, restart-safe, compactable") {
+    val root = Files.createTempDirectory("graft_sidx").toString
+    val streamDir = s"$root/vecs"
+    val indexDir = s"$root/index"
+    val ckpt = s"$root/ckpt"
+    Files.createDirectories(Paths.get(streamDir))
+
+    val vrng = new scala.util.Random(37)
+    def randVec(): Array[Float] =
+      Array.fill(16)((vrng.nextDouble() * 2 - 1).toFloat)
+    val all = (0 until 200).map(i => (i.toLong, randVec()))
+    val (base, arriving) = all.splitAt(120)
+    val twin = {
+      val v = all.head._2.clone(); v(0) = v(0) + 1e-4f; (999L, v)
+    }
+
+    // base index: centroid sample (id % 16 == 0, first 8 → ids 0..112)
+    // is identical over the base and over the final union, so the
+    // frozen-centroid stream must reproduce a full rebuild exactly
+    SimilarityOps.ivfBuild(base.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", indexDir, centroidEvery = 16, maxCentroids = 8)
+
+    // wave 1 arrives (40 vectors + the planted twin of vector 0)
+    (arriving.take(40) :+ twin).toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("append").parquet(streamDir)
+    StreamingIndex.run(spark, streamDir, indexDir, ckpt).awaitTermination()
+    val idx1 = SimilarityOps.ivfLoad(indexDir)
+    assert(idx1.deltas.size == 1, idx1.deltas.toString)
+    val top1 = SimilarityOps.ivfQueryById(spark, idx1, 0L, k = 3, nprobe = 3)
+      .select("vec_id").as[Long].collect()
+    assert(top1.contains(999L), s"late twin invisible: ${top1.mkString(",")}")
+
+    // wave 2 on the SAME checkpoint: only the new files are processed
+    arriving.drop(40).toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("append").parquet(streamDir)
+    StreamingIndex.run(spark, streamDir, indexDir, ckpt).awaitTermination()
+    val idx2 = SimilarityOps.ivfLoad(indexDir)
+    assert(idx2.deltas.size == 2, idx2.deltas.toString)
+
+    // a crashed epoch: delta rows on disk, manifest never renamed —
+    // invisible to load and to every query until its replay commits it
+    (Seq((7777L, randVec()))).toDF("vec_id", "embedding")
+      .withColumn("cell", lit(0))
+      .write.partitionBy("cell")
+      .parquet(SimilarityOps.ivfDeltaPath(indexDir, 999L))
+    val idxCrash = SimilarityOps.ivfLoad(indexDir)
+    assert(idxCrash.deltas.size == 2, idxCrash.deltas.toString)
+
+    // stream-then-query ≡ rebuild-over-the-union, bit for bit
+    val full = SimilarityOps.ivfBuild(
+      (all :+ twin).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", s"$root/full", centroidEvery = 16,
+      maxCentroids = 8)
+    assert(idx2.centroids == full.centroids)
+    def cellsOf(idx: SimilarityOps.IvfIndex): Set[(Int, Long)] =
+      idx.dataPaths.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+        .select(col("cell").cast("int"), col("vec_id"))
+        .as[(Int, Long)].collect().toSet
+    assert(cellsOf(idx2) == cellsOf(full))
+    def q(idx: SimilarityOps.IvfIndex): Seq[(Long, Double, Int)] =
+      SimilarityOps.ivfQueryById(spark, idx, 0L, k = 5, nprobe = 3)
+        .select("vec_id", "cos_sim", "rank")
+        .as[(Long, Double, Int)].collect().sortBy(_._3).toSeq
+    val streamed = q(idx2)
+    assert(streamed == q(full), s"$streamed vs ${q(full)}")
+
+    // the delta-union query still partition-prunes in EVERY branch
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(out) {
+      SimilarityOps.ivfQueryById(spark, idx2, 0L, k = 5, nprobe = 3)
+        .explain("formatted")
+    }
+    val pfs = out.toString.linesIterator
+      .filter(_.contains("PartitionFilters")).toSeq
+    assert(pfs.size >= 3 && pfs.forall(_.contains("cell")),
+      pfs.mkString("\n"))
+
+    // compaction folds committed deltas into the base; answers and
+    // the uncommitted crash dir are untouched
+    StreamingIndex.compact(spark, indexDir)
+    val idx3 = SimilarityOps.ivfLoad(indexDir)
+    assert(idx3.deltas.isEmpty, idx3.deltas.toString)
+    assert(q(idx3) == streamed)
+    assert(cellsOf(idx3) == cellsOf(full))
+    assert(Files.isDirectory(
+      Paths.get(SimilarityOps.ivfDeltaPath(indexDir, 999L))))
+  }
+}
