@@ -141,6 +141,42 @@ object SimilarityOps {
     withRank(top, idCol)
   }
 
+  /** Batch LSH ANN: ONE plan answers MANY queries — the serving shape
+    * of [[ivfQueryBatch]] for the hyperplane family. Corpus signatures
+    * are computed once; each query row explodes its hamming-≤1 probe
+    * set (1 + bits signatures) and candidates JOIN on the signature —
+    * never a corpus scan per query, and the query side (Q × (1+bits)
+    * rows) broadcasts. Exact cosine re-ranks under a window
+    * PARTITIONED by query id (hash-distributed, never a global sort).
+    * Per-query results are identical to [[lshTopK]] (same probes, same
+    * 6-dp rounding and id tie-break). Output: (query_id, idCol,
+    * cos_sim, rank).
+    */
+  def lshTopKBatch(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, bits: Int = 12, dims: Int = 64,
+      neutral: Boolean = false): DataFrame = {
+    val withSig = embeddings.select(col(idCol), col(vecCol),
+      hyperplaneSignature(col(vecCol), bits, dims, neutral).as("sig"))
+    val probes = queries
+      .select(col(qidCol).as("query_id"), col(qvecCol).as("_qvec"),
+        hyperplaneSignature(col(qvecCol), bits, dims, neutral).as("_qsig"))
+      .select(col("query_id"), col("_qvec"),
+        explode(probesOf(col("_qsig"), bits)).as("sig"))
+    val candidates = withSig.join(broadcast(probes), Seq("sig"))
+    val scored = candidates
+      .select(col("query_id"), col(idCol),
+        round(cosine(col(vecCol), col("_qvec")), 6).as("cos_sim"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+  }
+
   // -------------------------------------------------------------------
   // IVF (inverted-file) ANN — the second family beside the
   // random-hyperplane LSH of [[lshTopK]], in its MATERIALIZED
@@ -161,17 +197,28 @@ object SimilarityOps {
     */
   final case class IvfIndex(
       root: String, idCol: String, vecCol: String,
-      centroids: Seq[Seq[Double]], deltas: Seq[String] = Nil) {
-    def cellsPath: String = s"$root/cells"
+      centroids: Seq[Seq[Double]], deltas: Seq[String] = Nil,
+      gen: Int = 0) {
+    def cellsPath: String = ivfCellsPath(root, gen)
     def dataPaths: Seq[String] = cellsPath +: deltas
   }
+
+  /** Base cell table of generation `gen`. Generation 0 is the
+    * [[ivfBuild]] layout (`root/cells`); each reader-safe compaction
+    * ([[graft.pipeline.StreamingIndex.compact]]) writes the folded
+    * base to the NEXT generation directory and atomically swaps the
+    * pointer ([[ivfWriteGeneration]]) — handles loaded before the
+    * swap keep reading their own generation's intact files.
+    */
+  def ivfCellsPath(root: String, gen: Int): String =
+    if (gen == 0) s"$root/cells" else s"$root/cells-gen$gen"
 
   /** The index's rows: base cells plus every committed delta. Each
     * root is read separately (own partition discovery) and unioned, so
     * a `cell` filter partition-prunes inside EVERY branch — pruning
     * survives the union.
     */
-  private def readCells(
+  private[graft] def readCells(
       spark: org.apache.spark.sql.SparkSession, index: IvfIndex): DataFrame =
     index.dataPaths.map(spark.read.parquet(_)).reduce(_.unionByName(_))
 
@@ -305,6 +352,13 @@ object SimilarityOps {
         .mkString("[", ",", "]")).mkString(",") + "]}"
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(indexDir, "centroids.json"), json)
+    // a rebuild RESETS the index: deltas assigned under the previous
+    // centroid matrix are stale — retire their manifests first (a
+    // reader racing the rebuild transiently misses deltas, never sees
+    // stale ones), then swap the pointer back to generation 0
+    ivfManifestTokens(indexDir).foreach(t =>
+      java.nio.file.Files.deleteIfExists(ivfDeltaManifestToken(indexDir, t)))
+    ivfWriteGeneration(indexDir, 0, Set.empty)
     IvfIndex(indexDir, idCol, vecCol, cents)
   }
 
@@ -318,19 +372,41 @@ object SimilarityOps {
     * Cost: one scan of ONLY the new batch + one partitioned append;
     * the existing 10^12-row table is never read or rewritten.
     *
-    * Durability note: a parquet append is not atomic — a production
-    * deployment routes batches through an epoch manifest exactly like
-    * [[graft.pipeline.StreamingExtract]]'s committed-epochs-only
-    * output (same machinery, vector grain). Drift note: appends skew
-    * cell balance over time; watch [[ivfCellStats]] and rebuild with
-    * `refineIters > 0` when a cell runs hot.
+    * Durability (round 7): the batch is written as a COMMITTED DELTA
+    * — the exact layout [[graft.pipeline.StreamingIndex]] uses for
+    * streaming epochs (cell-partitioned delta dir + atomic tmp+rename
+    * manifest), written synchronously. A crash mid-write leaves an
+    * unmanifested delta dir that no reader ([[ivfLoad]]) ever sees; a
+    * retried append overwrites it under a fresh token. The base table
+    * is never touched, so a crash can no longer poison subsequent
+    * reads with partial part-files. [[graft.pipeline.StreamingIndex
+    * .compact]] folds batch deltas and streaming deltas alike. Drift
+    * note: appends skew cell balance over time; watch [[ivfCellStats]]
+    * and rebuild with `refineIters > 0` when a cell runs hot.
     */
   def ivfAppend(index: IvfIndex, newVectors: DataFrame): IvfIndex = {
-    withCellOf(newVectors, index.idCol, index.vecCol, index.centroids)
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    Files.createDirectories(Paths.get(index.root, "_delta_manifest"))
+    val (_, folded) = ivfReadGeneration(index.root)
+    // next unused append token: committed + folded tokens are taken
+    // forever (a folded token's rows live in the base — reusing it
+    // could resurrect them); an UNmanifested dir of the same name is a
+    // crashed attempt and is safely overwritten
+    val used = (ivfManifestTokens(index.root) ++ folded)
+      .collect { case t if t.startsWith("append-") =>
+        t.stripPrefix("append-").toLong }
+    val token = s"append-${if (used.isEmpty) 0L else used.max + 1L}"
+    val path = ivfDeltaPathToken(index.root, token)
+    assignCells(newVectors, index)
       .sortWithinPartitions(col("cell"))
-      .write.mode("append").partitionBy("cell")
-      .parquet(index.cellsPath)
-    index
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(path)
+    val rows = newVectors.sparkSession.read.parquet(path).count()
+    val tmp = Paths.get(index.root, "_delta_manifest", s".$token.json.tmp")
+    Files.writeString(tmp, s"""{"token":"$token","rowCount":$rows}""")
+    Files.move(tmp, ivfDeltaManifestToken(index.root, token),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    index.copy(deltas = index.deltas :+ path)
   }
 
   /** Reload an index handle written by [[ivfBuild]] (fresh session /
@@ -348,25 +424,38 @@ object SimilarityOps {
     val cents = "\\[([^\\[\\]]+)\\]".r.findAllMatchIn(
         json.substring(json.indexOf("\"centroids\"")))
       .map(_.group(1).split(",").map(_.toDouble).toSeq).toSeq
+    val (gen, _) = ivfReadGeneration(indexDir)
     IvfIndex(indexDir, field("idCol"), field("vecCol"), cents,
-      ivfCommittedDeltaEpochs(indexDir).map(e => ivfDeltaPath(indexDir, e)))
+      ivfCommittedDeltaTokens(indexDir)
+        .map(t => ivfDeltaPathToken(indexDir, t)), gen)
   }
 
-  // --- streaming delta layout (written by pipeline.StreamingIndex) ---
-  // root/delta/epoch-<id>/cell=<c>/...  the delta rows
-  // root/_delta_manifest/epoch-<id>.json  the atomic commit point
+  // --- delta layout (streaming epochs AND batch appends) -------------
+  // root/delta/<token>/cell=<c>/...    delta rows; token is epoch-<id>
+  //                                    (StreamingIndex) or append-<n>
+  //                                    (ivfAppend)
+  // root/_delta_manifest/<token>.json  the atomic commit point
+  // root/generation.json               base-generation pointer + the
+  //                                    tokens already folded into it
 
   def ivfDeltaPath(indexDir: String, epoch: Long): String =
-    s"$indexDir/delta/epoch-$epoch"
+    ivfDeltaPathToken(indexDir, s"epoch-$epoch")
+
+  def ivfDeltaPathToken(indexDir: String, token: String): String =
+    s"$indexDir/delta/$token"
 
   def ivfDeltaManifest(indexDir: String, epoch: Long): java.nio.file.Path =
-    java.nio.file.Paths.get(indexDir, "_delta_manifest", s"epoch-$epoch.json")
+    ivfDeltaManifestToken(indexDir, s"epoch-$epoch")
 
-  /** Epoch ids with a committed delta manifest — the only deltas any
-    * reader may see (the committed-epochs-only contract of
-    * [[graft.pipeline.StreamingExtract.readOutput]], at vector grain).
+  def ivfDeltaManifestToken(
+      indexDir: String, token: String): java.nio.file.Path =
+    java.nio.file.Paths.get(indexDir, "_delta_manifest", s"$token.json")
+
+  /** Every manifest-listed delta token, sorted (epochs first, then
+    * appends, numerically within each kind — a deterministic union
+    * order for [[readCells]]).
     */
-  def ivfCommittedDeltaEpochs(indexDir: String): Seq[Long] = {
+  private[graft] def ivfManifestTokens(indexDir: String): Seq[String] = {
     import scala.jdk.CollectionConverters._
     val mDir = java.nio.file.Paths.get(indexDir, "_delta_manifest")
     if (!java.nio.file.Files.isDirectory(mDir)) Nil
@@ -374,11 +463,64 @@ object SimilarityOps {
       val s = java.nio.file.Files.list(mDir)
       try s.iterator().asScala
         .map(_.getFileName.toString)
-        .collect { case n if n.matches("epoch-\\d+\\.json") =>
-          n.stripPrefix("epoch-").stripSuffix(".json").toLong }
-        .toSeq.sorted
+        .collect { case n if n.matches("(epoch|append)-\\d+\\.json") =>
+          n.stripSuffix(".json") }
+        .toSeq
+        .sortBy { t =>
+          val Array(kind, num) = t.split("-", 2)
+          (if (kind == "epoch") 0 else 1, num.toLong)
+        }
       finally s.close()
     }
+  }
+
+  /** Delta tokens any reader may see: committed (manifest present) and
+    * NOT folded into the current base generation. The folded exclusion
+    * closes the compaction crash window — if a crash lands between the
+    * generation swap and manifest retirement, the lingering manifests
+    * are ignored rather than double-counted (advisor, round 6).
+    */
+  def ivfCommittedDeltaTokens(indexDir: String): Seq[String] = {
+    val (_, folded) = ivfReadGeneration(indexDir)
+    ivfManifestTokens(indexDir).filterNot(folded)
+  }
+
+  /** Streaming-epoch ids among the live committed deltas. */
+  def ivfCommittedDeltaEpochs(indexDir: String): Seq[Long] =
+    ivfCommittedDeltaTokens(indexDir)
+      .collect { case t if t.startsWith("epoch-") =>
+        t.stripPrefix("epoch-").toLong }
+
+  /** Read the generation pointer: (generation, folded tokens).
+    * (0, empty) when absent — the fresh-build layout.
+    */
+  def ivfReadGeneration(indexDir: String): (Int, Set[String]) = {
+    val p = java.nio.file.Paths.get(indexDir, "generation.json")
+    if (!java.nio.file.Files.exists(p)) (0, Set.empty)
+    else {
+      val json = java.nio.file.Files.readString(p)
+      val gen = "\"gen\":(\\d+)".r.findFirstMatchIn(json)
+        .map(_.group(1).toInt).getOrElse(0)
+      val folded = "\"((?:epoch|append)-\\d+)\"".r.findAllMatchIn(json)
+        .map(_.group(1)).toSet
+      (gen, folded)
+    }
+  }
+
+  /** Atomically swap the generation pointer (tmp + rename — the
+    * manifest convention). This single rename is the ONLY commit point
+    * of a compaction: a reader loads either the old generation with
+    * its deltas or the new generation without them, never a mix.
+    */
+  def ivfWriteGeneration(
+      indexDir: String, gen: Int, folded: Set[String]): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val json = s"""{"gen":$gen,"folded":[""" +
+      folded.toSeq.sorted.map("\"" + _ + "\"").mkString(",") + "]}"
+    val tmp = Paths.get(indexDir, ".generation.json.tmp")
+    Files.writeString(tmp, json)
+    Files.move(tmp, Paths.get(indexDir, "generation.json"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Per-cell populations of a built index — the balance report a
@@ -510,8 +652,7 @@ object SimilarityOps {
       maxCentroids: Int = 64, nprobe: Int = 4,
       indexDir: Option[String] = None): DataFrame = {
     val spark = embeddings.sparkSession
-    val dir = indexDir.getOrElse(
-      java.nio.file.Files.createTempDirectory("graft_ivf").toString)
+    val dir = indexDir.getOrElse(tempIndexDir())
     val index = ivfBuild(embeddings, idCol, vecCol, dir,
       centroidEvery, maxCentroids)
     // the query vector comes from the source frame (pushed filter on
@@ -519,6 +660,41 @@ object SimilarityOps {
     val qv = embeddings.filter(col(idCol) === queryId)
       .select(col(vecCol)).head().getSeq[Float](0).map(_.toDouble).toSeq
     ivfQuery(spark, index, qv, k, nprobe)
+  }
+
+  /** Temp index dirs created by [[ivfTopK]]'s indexDir-less path, all
+    * swept by ONE JVM shutdown hook — without it every invocation
+    * leaked a corpus-sized parquet tree (advisor, round 6). Callers
+    * that need the index to outlive the session pass an explicit
+    * indexDir.
+    */
+  private val tmpIndexDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val tmpCleanupHook: Unit = {
+    sys.addShutdownHook {
+      tmpIndexDirs.forEach(p => deleteRecursively(p.toString))
+    }
+    ()
+  }
+  private def tempIndexDir(): String = {
+    tmpCleanupHook
+    val d = java.nio.file.Files.createTempDirectory("graft_ivf")
+    tmpIndexDirs.add(d)
+    d.toString
+  }
+
+  /** Best-effort recursive delete (shared by temp-index cleanup and
+    * [[graft.pipeline.StreamingIndex.vacuum]]).
+    */
+  private[graft] def deleteRecursively(dir: String): Unit = {
+    val root = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.isDirectory(root)) {
+      import scala.jdk.CollectionConverters._
+      val all = java.nio.file.Files.walk(root)
+      try all.iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      finally all.close()
+    }
   }
 
   /** Batch embedding near-dup pairs, LSH-bucketed — the scale shape

@@ -56,17 +56,25 @@ object StreamingExtract {
     * ([[DedupOps.hashBands64]], the q32 machinery) and anti-joined
     * against the hashes of every COMMITTED epoch; a band collision
     * verified to hamming ≤ `guardMaxHamming` is a drop. Within one
-    * batch, exact-fingerprint dups keep the minimum doc_id. Accepted
-    * fingerprints persist to
+    * batch, exact-fingerprint dups keep the minimum doc_id, and
+    * (round 7) NEAR-dups inside the batch are closed too: survivors'
+    * bands self-join (one join, bounded by the micro-batch size) and a
+    * doc drops when ANY smaller-id batch member sits within the
+    * hamming radius — the local-minima rule. It keeps the local minima
+    * of the in-batch near graph, which can exceed one survivor per
+    * connected component on hamming CHAINS (a, b, c with a~b, b~c but
+    * not a~c keeps a AND c) — full-closure semantics stay with the
+    * batch operators (q33) over the committed output; the guard's job
+    * is stopping bursts of near-identical docs from all committing.
+    * Accepted fingerprints persist to
     * `out/_hashes/epoch=<id>` under the SAME manifest commit point as
     * the data, so replays neither lose nor double-count hashes, and a
     * crashed epoch's hashes are invisible (committed-epochs-only, like
     * [[readOutput]]). Defaults mirror the image family's pigeonhole
     * pairing: 8-bit bands guarantee every hamming ≤ 6 pair shares a
-    * band. Cross-batch NEAR-dups are caught; in-batch near-dups (same
-    * epoch, nonzero hamming) are not — the batch is one arrival unit;
-    * run the batch dedup operators over the committed output for
-    * full closure.
+    * band (enforced: `guardMaxHamming < 64/guardBandBits`, otherwise
+    * near-dups inside the radius could share no band and silently pass
+    * the guard — advisor, round 6).
     */
   def run(
       spark: SparkSession,
@@ -81,6 +89,14 @@ object StreamingExtract {
       dedupGuard: Boolean = false,
       guardMaxHamming: Int = 6,
       guardBandBits: Int = 8): StreamingQuery = {
+    if (dedupGuard)
+      // pigeonhole contract: with 64/guardBandBits bands, every pair
+      // within hamming < 64/guardBandBits shares a band; beyond it the
+      // guard would silently miss in-radius near-dups (advisor, r6)
+      require(guardMaxHamming < 64 / guardBandBits,
+        s"guardMaxHamming=$guardMaxHamming breaks the pigeonhole " +
+          s"guarantee of $guardBandBits-bit bands (need < " +
+          s"${64 / guardBandBits})")
     // file stream needs an explicit schema; take it from the batch
     // reader of the same directory (cheap footer read)
     val schema = spark.read.parquet(docsDir).schema
@@ -112,8 +128,23 @@ object StreamingExtract {
               // in-batch exact dups: one keeper (min doc_id) per fp
               val keepers = withFp.groupBy(col("_fp"))
                 .agg(min(col("doc_id")).as("doc_id"))
-              withFp.join(dupIds, Seq("doc_id"), "left_anti")
+              val survivors = withFp.join(dupIds, Seq("doc_id"), "left_anti")
                 .join(keepers, Seq("_fp", "doc_id"), "left_semi")
+              // in-batch NEAR-dup closure (round 7): band the
+              // survivors against THEMSELVES — drop a doc when any
+              // smaller-id survivor sits within the hamming radius
+              // (hamming ≥ 1: exact dups were just reduced to one
+              // keeper). One self-join bounded by the micro-batch.
+              val sb = (a: String, b: String) => survivors
+                .select(col("doc_id").as(a), col("_fp").as(b),
+                  explode(DedupOps.hashBands64(col("_fp"), guardBandBits))
+                    .as("bb"))
+              val nearDrop = sb("did_a", "fp_a").join(sb("did_b", "fp_b"), Seq("bb"))
+                .filter(col("did_b") < col("did_a") &&
+                  DedupOps.hamming64(col("fp_a"), col("fp_b"))
+                    .between(1, guardMaxHamming))
+                .select(col("did_a").as("doc_id")).distinct()
+              survivors.join(nearDrop, Seq("doc_id"), "left_anti")
             }
           val out = (mediaTable, bucketedMediaBuckets) match {
             case (Some(tbl), Some(b)) =>

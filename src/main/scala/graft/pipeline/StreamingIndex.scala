@@ -55,7 +55,11 @@ object StreamingIndex {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         val manifest = SimilarityOps.ivfDeltaManifest(indexDir, epochId)
-        if (!Files.exists(manifest)) { // replayed epoch → already committed
+        // a replayed epoch is already committed (manifest) OR already
+        // folded into the base by a compaction that retired its
+        // manifest — re-committing a folded epoch would double-count
+        val (_, folded) = SimilarityOps.ivfReadGeneration(indexDir)
+        if (!Files.exists(manifest) && !folded.contains(s"epoch-$epochId")) {
           val deltaPath = SimilarityOps.ivfDeltaPath(indexDir, epochId)
           SimilarityOps.assignCells(batch, index)
             .sortWithinPartitions(col("cell"))
@@ -74,47 +78,79 @@ object StreamingIndex {
       .start()
   }
 
-  /** Fold every COMMITTED delta into the base cell table, so query
-    * plans return to a single pruned scan per probe (many small deltas
-    * = many scan branches and small files — the LSM compaction moment;
-    * parity with [[Commit.compact]]). Uncommitted delta dirs are left
-    * untouched for their replay. Sequence: append delta rows into the
-    * base partitions ([[SimilarityOps.ivfAppend]] semantics — cell
-    * values are already assigned and identical under the frozen
-    * centroids, so rows are appended verbatim), then retire manifests
-    * BEFORE delta dirs — a crash between those two steps loses nothing
-    * (rows already in base) and shows no duplicates (manifest gone →
-    * delta invisible). The non-atomic step is the base append itself:
-    * run compaction in a maintenance window, not under concurrent
-    * readers — a reader racing the append can transiently see a
-    * compacting epoch's rows twice (base partial + delta still
-    * committed), and a crash mid-append needs the partial part-files
-    * swept before retry. Streaming ingestion itself needs no pause —
-    * it writes NEW epochs, which compact doesn't touch.
+  /** Fold every live committed delta (streaming epochs AND
+    * [[SimilarityOps.ivfAppend]] batch deltas) into a NEW base
+    * generation, so query plans return to a single pruned scan per
+    * probe (many small deltas = many scan branches and small files —
+    * the LSM compaction moment; parity with [[Commit.compact]]).
+    *
+    * Reader-safe by construction (round 7 — the round-6 form appended
+    * into the live base and needed a maintenance window): the folded
+    * base is written to the NEXT generation directory
+    * (`cells-gen<N+1>`), which no reader resolves yet, and the ONLY
+    * commit point is the atomic generation-pointer swap
+    * ([[SimilarityOps.ivfWriteGeneration]]) — a reader loads either
+    * the old generation plus its deltas or the new generation without
+    * them, never a mix, so there is no transient double-count window.
+    * Handles loaded BEFORE the swap keep answering from the old
+    * generation's intact files until [[vacuum]] retires them.
+    *
+    * Crash-safe and idempotent (advisor, round 6): the pointer records
+    * the FOLDED token set, and [[SimilarityOps.ivfCommittedDeltaTokens]]
+    * excludes folded tokens even while their manifests linger — a
+    * crash between the swap and manifest retirement double-counts
+    * nothing, and a replayed compact finds no live token to re-fold
+    * (it only finishes the retirement). A crash BEFORE the swap leaves
+    * the pointer on the old generation; the retry overwrites the
+    * half-written next-generation directory. Uncommitted delta dirs
+    * are left untouched for their replay; streaming ingestion needs no
+    * pause — it writes NEW epochs, which compact doesn't touch.
     */
   def compact(spark: SparkSession, indexDir: String): Unit = {
-    val epochs = SimilarityOps.ivfCommittedDeltaEpochs(indexDir)
-    if (epochs.isEmpty) return
+    val (gen, folded) = SimilarityOps.ivfReadGeneration(indexDir)
+    // finish a crashed prior compaction: retire manifests of tokens
+    // already folded into the current base (readers exclude them via
+    // the pointer either way)
+    folded.foreach(t =>
+      Files.deleteIfExists(SimilarityOps.ivfDeltaManifestToken(indexDir, t)))
+    val tokens = SimilarityOps.ivfCommittedDeltaTokens(indexDir)
+    if (tokens.isEmpty) return
     val index = SimilarityOps.ivfLoad(indexDir)
-    val deltaDirs = epochs.map(e => SimilarityOps.ivfDeltaPath(indexDir, e))
+    val newGen = gen + 1
     // one read per root (a multi-root read trips partition-discovery's
-    // conflicting-directory check: epoch-N isn't a partition dir)
-    deltaDirs.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+    // conflicting-directory check: delta dirs aren't partition dirs)
+    SimilarityOps.readCells(spark, index)
       .select(col(index.idCol), col(index.vecCol), col("cell"))
       .sortWithinPartitions(col("cell"))
-      .write.mode("append").partitionBy("cell")
-      .parquet(index.cellsPath)
-    epochs.foreach { e =>
-      Files.deleteIfExists(SimilarityOps.ivfDeltaManifest(indexDir, e))
-    }
-    deltaDirs.foreach { d =>
-      val root = Paths.get(d)
-      if (Files.isDirectory(root)) {
-        import scala.jdk.CollectionConverters._
-        val all = Files.walk(root)
-        try all.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-        finally all.close()
-      }
-    }
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(SimilarityOps.ivfCellsPath(indexDir, newGen))
+    // drop folded entries whose delta dirs are already vacuumed (they
+    // can never resurrect), keep the rest — the exclusion list stays
+    // bounded by the un-vacuumed token count
+    val stillOnDisk = folded.filter(t => Files.isDirectory(
+      Paths.get(SimilarityOps.ivfDeltaPathToken(indexDir, t))))
+    // THE commit point: atomic swap to the new generation + folded set
+    SimilarityOps.ivfWriteGeneration(indexDir, newGen, stillOnDisk ++ tokens)
+    // retirement (idempotent cleanup — readers already exclude these)
+    tokens.foreach(t =>
+      Files.deleteIfExists(SimilarityOps.ivfDeltaManifestToken(indexDir, t)))
+  }
+
+  /** Retire what only PRE-compaction readers could still need: base
+    * generations below the current pointer and the delta dirs of
+    * folded tokens (then prune the folded list — gone dirs can never
+    * resurrect). Run when no reader holds a pre-compaction handle
+    * (parity with [[Commit.vacuum]]); [[compact]] itself never blocks
+    * or breaks readers. Uncommitted delta dirs (crash leftovers
+    * awaiting replay) are untouched.
+    */
+  def vacuum(indexDir: String): Unit = {
+    val (gen, folded) = SimilarityOps.ivfReadGeneration(indexDir)
+    (0 until gen).foreach(g =>
+      SimilarityOps.deleteRecursively(SimilarityOps.ivfCellsPath(indexDir, g)))
+    folded.foreach(t =>
+      SimilarityOps.deleteRecursively(
+        SimilarityOps.ivfDeltaPathToken(indexDir, t)))
+    SimilarityOps.ivfWriteGeneration(indexDir, gen, Set.empty)
   }
 }

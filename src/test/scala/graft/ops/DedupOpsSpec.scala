@@ -374,8 +374,10 @@ class DedupOpsSpec extends AnyFunSuite {
   test("ivfAppend: frozen-centroid insert ≡ rebuild over the union, existing cells untouched") {
     // the arriving-corpus path: appending a batch must (1) place each
     // new vector in the exact cell a full rebuild would (centroids
-    // frozen → same argmax), (2) never rewrite existing files, and
-    // (3) make planted twins immediately visible to queries.
+    // frozen → same argmax), (2) never rewrite existing files — since
+    // round 7 the batch lands as a COMMITTED DELTA (manifest-gated,
+    // crash-atomic), not a raw base append — and (3) make planted
+    // twins immediately visible to queries.
     val vrng = new scala.util.Random(31)
     def randVec(): Array[Float] =
       Array.fill(16)((vrng.nextDouble() * 2 - 1).toFloat)
@@ -393,18 +395,32 @@ class DedupOpsSpec extends AnyFunSuite {
       .filter(_.isDirectory)
       .flatMap(d => d.listFiles().map(f => f.getPath -> f.lastModified()))
       .toMap
-    SimilarityOps.ivfAppend(grown,
+    // crash-sim FIRST (advisor, round 6): a delta dir on disk with no
+    // manifest — the exact state a crash mid-append leaves — must be
+    // invisible to every load and query, and must not poison the
+    // subsequent committed append
+    Seq((7777L, randVec())).toDF("vec_id", "embedding")
+      .withColumn("cell", lit(0))
+      .write.partitionBy("cell")
+      .parquet(SimilarityOps.ivfDeltaPathToken(s"$root/grown", "append-5"))
+    assert(SimilarityOps.ivfLoad(s"$root/grown").deltas.isEmpty)
+    val grown2 = SimilarityOps.ivfAppend(grown,
       (rest :+ (999L, v0)).toDF("vec_id", "embedding"))
+    // the commit point is the manifest: exactly one committed delta,
+    // visible to a fresh reload identically
+    assert(grown2.deltas.size == 1, grown2.deltas.toString)
+    assert(SimilarityOps.ivfLoad(s"$root/grown").deltas == grown2.deltas)
     val full = SimilarityOps.ivfBuild(
       (all :+ (999L, v0)).toDF("vec_id", "embedding"),
       "vec_id", "embedding", s"$root/full", centroidEvery = 16,
       maxCentroids = 8)
-    assert(grown.centroids == full.centroids)
+    assert(grown2.centroids == full.centroids)
     // per-cell contents identical to the rebuild (same ids per cell)
     val cellsOf = (idx: SimilarityOps.IvfIndex) =>
-      spark.read.parquet(idx.cellsPath).select("cell", "vec_id")
+      idx.dataPaths.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+        .select(col("cell").cast("int"), col("vec_id"))
         .as[(Int, Long)].collect().toSet
-    assert(cellsOf(grown) == cellsOf(full))
+    assert(cellsOf(grown2) == cellsOf(full))
     // append touched nothing that existed: every pre-append file
     // survives byte-dated, only NEW files joined the partitions
     preFiles.foreach { case (path, mtime) =>
@@ -416,7 +432,7 @@ class DedupOpsSpec extends AnyFunSuite {
       SimilarityOps.ivfQueryById(spark, idx, 0L, k = 3, nprobe = 3)
         .select("vec_id", "cos_sim", "rank")
         .as[(Long, Double, Int)].collect().sortBy(_._3).toSeq
-    val got = q(grown)
+    val got = q(grown2)
     assert(got == q(full), s"$got vs ${q(full)}")
     assert(got.exists(_._1 == 999L), got.mkString(", "))
   }
@@ -538,5 +554,33 @@ class DedupOpsSpec extends AnyFunSuite {
     val planted = top.find(_._1 == 999L)
     assert(planted.isDefined, s"planted 999 not in top-k: ${top.mkString(", ")}")
     assert(planted.get._2 >= 0.9999, planted.get.toString)
+  }
+
+  test("lshTopKBatch: one plan answers many queries, per-query identical to lshTopK") {
+    // the hyperplane serving shape (round 7 — the recall harness's
+    // batch path): corpus signatures once, probe sets joined by
+    // signature, per-query window rank. Must agree bit for bit with
+    // the single-query operator.
+    val vrng = new scala.util.Random(11)
+    def randVec(): Array[Float] =
+      Array.fill(16)((vrng.nextDouble() * 2 - 1).toFloat)
+    val base = (0 until 80).map(i => (i.toLong, randVec()))
+    val emb = base.toDF("vec_id", "embedding")
+    val qids = Seq(0L, 13L, 42L)
+    val batch = SimilarityOps.lshTopKBatch(emb, "vec_id", "embedding",
+      emb.filter(col("vec_id").isin(qids.map(Long.box): _*)),
+      "vec_id", "embedding", k = 4, bits = 8, dims = 16)
+    val got = batch.select(col("query_id").cast("long"), col("vec_id"),
+      col("cos_sim"), col("rank")).as[(Long, Long, Double, Int)]
+      .collect().groupBy(_._1).view
+      .mapValues(_.map(r => (r._2, r._3, r._4)).sortBy(_._3).toSeq).toMap
+    assert(got.keySet == qids.toSet, got.keySet.toString)
+    qids.foreach { q =>
+      val single = SimilarityOps.lshTopK(emb, "vec_id", "embedding",
+        queryId = q, k = 4, bits = 8, dims = 16)
+        .select("vec_id", "cos_sim", "rank")
+        .as[(Long, Double, Int)].collect().sortBy(_._3).toSeq
+      assert(got(q) == single, s"query $q: ${got(q)} vs $single")
+    }
   }
 }

@@ -123,6 +123,39 @@ class StreamingExtractSpec extends AnyFunSuite {
       after2.toString)
     // the guard's committed hash table covers exactly the accepted docs
     assert(StreamingExtract.readCommittedHashes(spark, outDir).count() == 5L)
+
+    // wave 3 (round 7): two IN-BATCH near-dup twins arriving together
+    // — the in-batch closure must commit exactly one (the min doc_id);
+    // a fresh doc in the same batch survives. Cross-batch behavior is
+    // already pinned above and must not change.
+    val t4 = (0 until 60).map(i => s"echo$i").mkString(" ")
+    val t4near = ((0 until 59).map(i => s"echo$i") :+ "foxtrot")
+      .mkString(" ")
+    val t5 = (0 until 60).map(i => s"golf$i").mkString(" ")
+    val ham4 = java.lang.Long.bitCount(
+      fpOf(textDoc("x", t4)) ^ fpOf(textDoc("x", t4near)))
+    assert(ham4 >= 1 && ham4 <= 12,
+      s"planted in-batch near pair hamming $ham4 outside (0, radius]")
+    // every wave-3 doc must be far from every committed fingerprint
+    // AND the fresh doc far from the twins (deterministic preconditions)
+    val committedFps = Seq(t1, t2, t3).map(t => fpOf(textDoc("x", t))) ++
+      Seq(fpOf(imgDoc("x", "m1.png")), fpOf(imgDoc("x", "m2.png")))
+    Seq(t4, t4near, t5).foreach { t =>
+      val f = fpOf(textDoc("x", t))
+      committedFps.foreach(c => assert(
+        java.lang.Long.bitCount(f ^ c) > 12, s"wave-3 doc near committed"))
+    }
+    Seq(t4, t4near).foreach(t => assert(java.lang.Long.bitCount(
+      fpOf(textDoc("x", t5)) ^ fpOf(textDoc("x", t))) > 12))
+    Seq(textDoc("w3-a", t4), textDoc("w3-b", t4near), textDoc("w3-new", t5))
+      .toDF().coalesce(1).write.mode("append").parquet(streamDir)
+    StreamingExtract.run(spark, streamDir, emptyMedia, outDir, ckpt,
+      partitions = 4, dedupGuard = true,
+      guardMaxHamming = 12, guardBandBits = 4).awaitTermination()
+    val after3 = StreamingExtract.readOutput(spark, outDir)
+      .select("doc_id").as[String].collect().toSet
+    assert(after3 == after2 ++ Set("w3-a", "w3-new"), after3.toString)
+    assert(StreamingExtract.readCommittedHashes(spark, outDir).count() == 7L)
   }
 
   test("streaming over the BUCKETED no-broadcast media join matches goldens across restart") {

@@ -92,14 +92,80 @@ class StreamingIndexSpec extends AnyFunSuite {
     assert(pfs.size >= 3 && pfs.forall(_.contains("cell")),
       pfs.mkString("\n"))
 
-    // compaction folds committed deltas into the base; answers and
-    // the uncommitted crash dir are untouched
+    // compaction folds committed deltas into a NEW base generation
+    // (reader-safe, round 7); answers and the uncommitted crash dir
+    // are untouched
     StreamingIndex.compact(spark, indexDir)
     val idx3 = SimilarityOps.ivfLoad(indexDir)
+    assert(idx3.gen == 1, idx3.toString)
     assert(idx3.deltas.isEmpty, idx3.deltas.toString)
     assert(q(idx3) == streamed)
     assert(cellsOf(idx3) == cellsOf(full))
     assert(Files.isDirectory(
       Paths.get(SimilarityOps.ivfDeltaPath(indexDir, 999L))))
+    // a handle loaded BEFORE the compaction keeps answering from the
+    // old generation's intact files — compaction never pauses serving
+    assert(q(idx2) == streamed)
+    assert(cellsOf(idx2) == cellsOf(full))
+
+    // crash window between the pointer swap and manifest retirement:
+    // a lingering manifest of a folded epoch is EXCLUDED by the
+    // pointer's folded set (no double count), and a replayed compact
+    // only finishes the retirement — row counts never grow
+    val resurrected = SimilarityOps.ivfDeltaManifest(indexDir, 0L)
+    Files.writeString(resurrected, """{"epoch":0,"rowCount":41}""")
+    assert(SimilarityOps.ivfLoad(indexDir).deltas.isEmpty)
+    val rowsBefore = cellsOf(idx3).size
+    StreamingIndex.compact(spark, indexDir) // replay: retirement only
+    assert(!Files.exists(resurrected))
+    val idx4 = SimilarityOps.ivfLoad(indexDir)
+    assert(idx4.gen == 1, idx4.toString) // no new generation spawned
+    assert(cellsOf(idx4).size == rowsBefore)
+    assert(q(idx4) == streamed)
+
+    // vacuum retires what only pre-compaction readers needed: the old
+    // base generation and folded delta dirs; the current handle and
+    // the uncommitted crash dir are untouched
+    StreamingIndex.vacuum(indexDir)
+    assert(!Files.isDirectory(
+      Paths.get(SimilarityOps.ivfCellsPath(indexDir, 0))))
+    assert(!Files.isDirectory(
+      Paths.get(SimilarityOps.ivfDeltaPath(indexDir, 0L))))
+    assert(Files.isDirectory(
+      Paths.get(SimilarityOps.ivfDeltaPath(indexDir, 999L))))
+    assert(q(SimilarityOps.ivfLoad(indexDir)) == streamed)
+  }
+
+  test("compact is reader-safe with batch appends in the mix and idempotent under replay") {
+    // the ivfAppend batch path and the streaming epoch path share the
+    // delta layout; compact folds BOTH into one new generation, and
+    // running it twice (the crash-replay shape) changes nothing.
+    val root = Files.createTempDirectory("graft_sidx2").toString
+    val indexDir = s"$root/index"
+    val vrng = new scala.util.Random(41)
+    def randVec(): Array[Float] =
+      Array.fill(16)((vrng.nextDouble() * 2 - 1).toFloat)
+    val all = (0 until 160).map(i => (i.toLong, randVec()))
+    val (base, arriving) = all.splitAt(120)
+    SimilarityOps.ivfBuild(base.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", indexDir, centroidEvery = 16, maxCentroids = 8)
+    val grown = SimilarityOps.ivfAppend(SimilarityOps.ivfLoad(indexDir),
+      arriving.toDF("vec_id", "embedding"))
+    assert(grown.deltas.size == 1)
+    def q(idx: SimilarityOps.IvfIndex): Seq[(Long, Double, Int)] =
+      SimilarityOps.ivfQueryById(spark, idx, 0L, k = 5, nprobe = 3)
+        .select("vec_id", "cos_sim", "rank")
+        .as[(Long, Double, Int)].collect().sortBy(_._3).toSeq
+    val before = q(grown)
+    val preHandle = SimilarityOps.ivfLoad(indexDir)
+    StreamingIndex.compact(spark, indexDir)
+    StreamingIndex.compact(spark, indexDir) // replay: must be a no-op
+    val after = SimilarityOps.ivfLoad(indexDir)
+    assert(after.gen == 1 && after.deltas.isEmpty, after.toString)
+    assert(q(after) == before)
+    assert(q(preHandle) == before) // pre-compaction reader unbroken
+    def totalRows(idx: SimilarityOps.IvfIndex): Long =
+      idx.dataPaths.map(spark.read.parquet(_)).reduce(_.unionByName(_)).count()
+    assert(totalRows(after) == 160L)
   }
 }
