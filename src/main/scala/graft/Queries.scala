@@ -25,6 +25,29 @@ object Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** One materialized IVF index per (query, source dir) per JVM — the
+    * registered IVF queries build into a temp dir, and before round 7
+    * EVERY invocation (bench re-runs, PlanSpec explains, Verify) wrote
+    * and leaked a fresh corpus-sized parquet tree (advisor, round 6).
+    * The builder runs once per key; repeat calls reuse the index (the
+    * testdata tables are immutable, and builds are deterministic). All
+    * cached dirs are swept by one JVM shutdown hook.
+    */
+  private val ivfCache =
+    new java.util.concurrent.ConcurrentHashMap[String, SimilarityOps.IvfIndex]()
+  private lazy val ivfCacheHook: Unit = {
+    sys.addShutdownHook {
+      ivfCache.values.forEach(i => SimilarityOps.deleteRecursively(i.root))
+    }
+    ()
+  }
+  private def cachedIvf(key: String)(
+      build: String => SimilarityOps.IvfIndex): SimilarityOps.IvfIndex = {
+    ivfCacheHook
+    ivfCache.computeIfAbsent(key, _ => build(
+      java.nio.file.Files.createTempDirectory("graft_ivf_q").toString))
+  }
+
   import org.apache.spark.sql.Column
 
   /** Invoice fields synthesized from an orders key — shared by the two
@@ -552,10 +575,15 @@ object Queries {
     // goes through the MATERIALIZED build/query split (ivfBuild writes
     // the cell-partitioned index, ivfQuery partition-prunes to the
     // probed cells) — the lattice, and hence this oracle, is unchanged.
-    "q35_ivf_topk" -> ((s, dir) =>
-      SimilarityOps.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
-        queryId = 0L, k = 10, centroidEvery = 64, maxCentroids = 64,
-        nprobe = 4)),
+    "q35_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val index = cachedIvf(s"q35:$dir")(d => SimilarityOps.ivfBuild(
+        emb, "vec_id", "embedding", d, centroidEvery = 64,
+        maxCentroids = 64))
+      val qv = emb.filter(col("vec_id") === 0L).select(col("embedding"))
+        .head().getSeq[Float](0).map(_.toDouble).toSeq
+      SimilarityOps.ivfQuery(s, index, qv, k = 10, nprobe = 4)
+    }),
 
     // End of the IMAGE dedup story under ONE oracle (round-6 task,
     // mirroring how q33 composed the text family): the q32 planted
@@ -602,13 +630,87 @@ object Queries {
     // SQL with a query dimension.
     "q37_ivf_batch" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_ivf_batch").toString
-      val index = SimilarityOps.ivfBuild(emb, "vec_id", "embedding", tmp,
-        centroidEvery = 64, maxCentroids = 64)
+      val index = cachedIvf(s"q37:$dir")(d => SimilarityOps.ivfBuild(
+        emb, "vec_id", "embedding", d, centroidEvery = 64,
+        maxCentroids = 64))
       SimilarityOps.ivfQueryBatch(s, index,
         emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
         k = 5, nprobe = 4)
+    }),
+
+    // Batched serving through the APPEND path (round 7): the index is
+    // built over HALF the corpus (even vec_ids), the other half
+    // arrives via ivfAppend (frozen centroids, committed delta), and
+    // the same five-query batch runs against the union. The centroid
+    // sample (vec_id % 64 = 0, all even) is identical over the half
+    // and the full corpus, so append-then-serve ≡ build-over-all bit
+    // for bit — q37's oracle IS this query's oracle, which puts the
+    // incremental path (previously sbt-only bit-identity,
+    // DedupOpsSpec) under the driver's DuckDB gate.
+    "q38_ivf_append_batch" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val index = cachedIvf(s"q38:$dir") { d =>
+        val half = SimilarityOps.ivfBuild(
+          emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", d,
+          centroidEvery = 64, maxCentroids = 64)
+        SimilarityOps.ivfAppend(half, emb.filter(col("vec_id") % 2 =!= 0))
+      }
+      SimilarityOps.ivfQueryBatch(s, index,
+        emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+        k = 5, nprobe = 4)
+    }),
+
+    // Cross-modal one-call dedup (round 7, the q33 × q36 composition):
+    // a mixed corpus where every doc carries text AND an image payload
+    // (real PNG bytes through the real decode kernel). A doc drops
+    // when EITHER its text clusters it (the q24/q33 MinHash lattice)
+    // OR its image does (the q32/q36 dHash band lattice) with a kept
+    // doc — the two verified pair sets union into ONE connected-
+    // components closure. Planted: d%3 → a twin with UNRELATED text
+    // but a 1-bit-flipped image (only the image path can catch it);
+    // d%5 → a twin with IDENTICAL text but an unrelated image (only
+    // the text path can); d%7 → a poison doc with an undecodable
+    // image (NULL dhash enters no pair) and unrelated text — must
+    // survive. String doc ids end to end (both engines compare and
+    // min-label lexicographically).
+    "q39_crossmodal_drop_neardups" -> ((s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .filter(col("doc_id") < 200).as[(Long, String)]
+      val corpus = base.mapPartitions(_.flatMap { case (d, text) =>
+        def png(h: Long) =
+          graft.kernel.GlyphFont.toPng(MediaOps.hashRaster(h), 9, 8)
+        val h = DedupOps.md5Hash64Scala(s"img:$d")
+        val self = Iterator((d.toString, text, png(h)))
+        val imgTwin =
+          if (d % 3 == 0) Iterator(((d + 1000000).toString,
+            s"image twin marker $d alpha ${d * 3} beta ${d * 7}",
+            png(h ^ (1L << (d % 60).toInt))))
+          else Iterator.empty
+        val textTwin =
+          if (d % 5 == 0) Iterator(((d + 2000000).toString, text,
+            png(DedupOps.md5Hash64Scala(s"img2:$d"))))
+          else Iterator.empty
+        val poison =
+          if (d % 7 == 0) Iterator(((d + 3000000).toString,
+            s"unrelated filler document number $d standalone ${d * 7}",
+            Array[Byte](0, 1, 2, 3)))
+          else Iterator.empty
+        self ++ imgTwin ++ textTwin ++ poison
+      }).toDF("id", "text", "bytes")
+      val textPairs = DedupOps.minhashLshPairs(
+        corpus.select(col("id"), col("text")), "id", "text",
+        k = 32, bands = 8, thresholdX1M = 900000L, neutral = true,
+        maxBucket = 1000)
+      val imgPairs = MediaOps.imageNearDupPairs(
+        MediaOps.imageDHashes(
+          corpus.select(col("id").as("media_ref"), col("bytes"))),
+        maxHamming = 6, bandBits = 8, maxBucket = 1000)
+      val pairs = textPairs.select(col("id_a"), col("id_b"))
+        .unionByName(imgPairs.select(col("id_a"), col("id_b")))
+        .distinct()
+      DedupOps.dropNearDups(corpus.select(col("id")), "id", pairs)
+        .select(col("id"))
     })
   )
 
@@ -1187,6 +1289,128 @@ object Queries {
                   row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
            FROM cand)
          SELECT query_id, vec_id, cos_sim, CAST(rank AS INTEGER) AS rank
-         FROM ranked WHERE rank <= 5"""
+         FROM ranked WHERE rank <= 5""",
+
+    // Append-path twin: build-on-half + frozen-centroid append ≡ one
+    // build over the full corpus (the centroid sample, vec_id % 64 = 0
+    // — all even — is identical over the even half and the union), so
+    // the oracle is EXACTLY q37's full-corpus lattice: the driver gate
+    // now proves the incremental path end to end.
+    "q38_ivf_append_batch" ->
+      """WITH cents AS (
+           SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cidx,
+                  embedding AS cvec
+           FROM (SELECT vec_id, embedding FROM embeddings
+                 WHERE vec_id % 64 = 0 ORDER BY vec_id LIMIT 64)),
+         dots AS (
+           SELECT e.vec_id, e.embedding, c.cidx,
+                  list_sum(list_transform(range(1, len(e.embedding) + 1),
+                    j -> CAST(e.embedding[j] AS DOUBLE) * CAST(c.cvec[j] AS DOUBLE))) AS d
+           FROM embeddings e CROSS JOIN cents c),
+         assign AS (
+           SELECT vec_id, embedding, cidx AS cell FROM (
+             SELECT vec_id, embedding, cidx,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cidx) AS rn
+             FROM dots) WHERE rn = 1),
+         qs AS (SELECT vec_id AS query_id, embedding AS qv
+                FROM embeddings WHERE vec_id % 100 = 0),
+         probes AS (
+           SELECT query_id, cidx AS cell FROM (
+             SELECT q.query_id, d.cidx,
+                    row_number() OVER (PARTITION BY q.query_id ORDER BY d.d DESC, d.cidx) AS rn
+             FROM dots d JOIN qs q ON d.vec_id = q.query_id) WHERE rn <= 4),
+         cand AS (
+           SELECT p.query_id, a.vec_id,
+                  round(
+                    list_sum(list_transform(range(1, len(a.embedding) + 1),
+                      j -> CAST(a.embedding[j] AS DOUBLE) * CAST(q.qv[j] AS DOUBLE)))
+                    / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                         j -> CAST(a.embedding[j] AS DOUBLE) * CAST(a.embedding[j] AS DOUBLE))))
+                     * sqrt(list_sum(list_transform(range(1, len(q.qv) + 1),
+                         j -> CAST(q.qv[j] AS DOUBLE) * CAST(q.qv[j] AS DOUBLE)))))
+                  , 6) AS cos_sim
+           FROM assign a JOIN probes p ON a.cell = p.cell
+                JOIN qs q ON q.query_id = p.query_id),
+         ranked AS (
+           SELECT query_id, vec_id, cos_sim,
+                  row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
+           FROM cand)
+         SELECT query_id, vec_id, cos_sim, CAST(rank AS INTEGER) AS rank
+         FROM ranked WHERE rank <= 5""",
+
+    // Cross-modal twin: the mixed corpus restated row-for-row (base
+    // doc + its planted twins, texts verbatim, image hashes as the
+    // planted md5-derived values, poison = NULL hash), the q33 MinHash
+    // text lattice AND the q36 dHash band lattice each producing their
+    // verified pair set, the two edge sets UNIONED into one
+    // recursive-CTE closure over STRING ids, survivors = everything
+    // except non-minimum component members.
+    "q39_crossmodal_drop_neardups" ->
+      """WITH RECURSIVE
+         k AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+         docs AS (
+           SELECT CAST(doc_id AS VARCHAR) AS id, text,
+                  CAST('0x' || substr(md5('img:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS ih
+           FROM k
+           UNION ALL
+           SELECT CAST(doc_id + 1000000 AS VARCHAR),
+                  'image twin marker ' || CAST(doc_id AS VARCHAR) ||
+                    ' alpha ' || CAST(doc_id * 3 AS VARCHAR) ||
+                    ' beta ' || CAST(doc_id * 7 AS VARCHAR),
+                  xor(CAST('0x' || substr(md5('img:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT),
+                      CAST(1 AS BIGINT) << CAST(doc_id % 60 AS INTEGER))
+           FROM k WHERE doc_id % 3 = 0
+           UNION ALL
+           SELECT CAST(doc_id + 2000000 AS VARCHAR), text,
+                  CAST('0x' || substr(md5('img2:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+           FROM k WHERE doc_id % 5 = 0
+           UNION ALL
+           SELECT CAST(doc_id + 3000000 AS VARCHAR),
+                  'unrelated filler document number ' || CAST(doc_id AS VARCHAR) ||
+                    ' standalone ' || CAST(doc_id * 7 AS VARCHAR),
+                  CAST(NULL AS BIGINT)
+           FROM k WHERE doc_id % 7 = 0),
+         tok AS (SELECT id, text, string_split(text, ' ') AS toks FROM docs),
+         sh AS (SELECT id, text,
+           CASE WHEN len(toks) >= 3
+             THEN list_distinct([concat_ws(' ', toks[i], toks[i+1], toks[i+2]) FOR i IN range(1, len(toks) - 1)])
+             ELSE [array_to_string(toks, ' ')] END AS shingles FROM tok),
+         hs AS (SELECT id, list_transform(shingles, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS hs FROM sh),
+         sig AS (SELECT id,
+           [list_min([xor((h >> seed) | ((h & ((CAST(1 AS BIGINT) << seed) - 1)) << (60 - seed)),
+                          CAST('0x' || substr(md5('seed:' || CAST(seed AS VARCHAR)), 1, 15) AS BIGINT))
+             FOR h IN hs]) FOR seed IN range(0, 32)] AS sig
+           FROM hs),
+         tbands AS (SELECT id, b,
+           md5(array_to_string(list_transform(list_slice(sig, b*4+1, b*4+4), x -> CAST(x AS VARCHAR)), ',')) AS bucket
+           FROM sig, range(0, 8) r(b)
+           QUALIFY count(*) OVER (PARTITION BY b, bucket) <= 1000),
+         tcand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+           FROM tbands a JOIN tbands b ON a.b = b.b AND a.bucket = b.bucket AND a.id < b.id),
+         ng AS (SELECT id, list_distinct([substr(text, i, 3) FOR i IN range(1, greatest(length(text) - 1, 1))]) AS g FROM docs),
+         tprs AS (SELECT id_a, id_b FROM (
+             SELECT id_a, id_b,
+               CASE WHEN (len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g))) > 0
+                 THEN CAST(FLOOR(len(list_intersect(ga.g, gb.g)) * 1000000 / (len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g)))) AS BIGINT)
+                 ELSE 1000000 END AS jaccard_x1m
+             FROM tcand JOIN ng ga ON ga.id = id_a JOIN ng gb ON gb.id = id_b)
+           WHERE jaccard_x1m >= 900000),
+         ibands AS (
+           SELECT id, b, (ih >> (b * 8)) & 255 AS bucket
+           FROM docs, range(0, 8) r(b) WHERE ih IS NOT NULL
+           QUALIFY count(*) OVER (PARTITION BY b, bucket) BETWEEN 2 AND 1000),
+         icand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                   FROM ibands a JOIN ibands b ON a.b = b.b AND a.bucket = b.bucket AND a.id < b.id),
+         iprs AS (SELECT id_a, id_b
+                  FROM icand JOIN docs da ON da.id = id_a JOIN docs db ON db.id = id_b
+                  WHERE bit_count(xor(da.ih, db.ih)) <= 6),
+         allp AS (SELECT id_a, id_b FROM tprs UNION SELECT id_a, id_b FROM iprs),
+         e AS (SELECT id_a AS a, id_b AS b FROM allp UNION SELECT id_b AS a, id_a AS b FROM allp),
+         reach AS (SELECT a AS src, b AS dst FROM e
+                   UNION
+                   SELECT r.src, e.b AS dst FROM reach r JOIN e ON r.dst = e.a),
+         lab AS (SELECT src AS id, least(src, min(dst)) AS cluster FROM reach GROUP BY src)
+         SELECT id FROM docs
+         WHERE id NOT IN (SELECT id FROM lab WHERE cluster <> id)"""
   )
 }
