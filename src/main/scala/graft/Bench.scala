@@ -177,38 +177,32 @@ object Bench {
     }
     def render(v: Option[Double]): String =
       v.map(s => f"$s%.3f").getOrElse("null")
-    val results = (if (skipQueries) Map.empty[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame]
+    // Every query: one COLD pass (Catalyst plan-compile included —
+    // stays the cross-round-comparable "queries" number) plus three
+    // fresh re-plans under warmed codegen/JIT state. queries_warm is
+    // the MEDIAN of the re-plans — the round-4/5 noise-resistance
+    // mechanism, extended from the six heavy HOF-lattice queries to
+    // the WHOLE suite (round-6 verdict task 7: light queries rode
+    // single cold passes, and one host-steal blip — q02's 0.80 s vs
+    // 0.22 everywhere else — polluted the committed artifact with no
+    // way to self-diagnose). Raw passes ride in queries_warm_runs.
+    val timed = (if (skipQueries) Map.empty[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame]
       else SparkEntry.queries).toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> timeQuery(fn)
+      (name, timeQuery(fn), (1 to 3).map(_ => timeQuery(fn)))
     }
+    val results = timed.map { case (name, cold, _) => name -> cold }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + render(v) }
       .mkString("{", ",", "}")
-    // Warm MEDIAN-OF-3 runs for the big HOF-lattice queries (round-4
-    // verdict task 5 measured the cold/warm split; round-5 task 4
-    // demands the committed artifact be noise-resistant): the cold
-    // first run is dominated by Catalyst plan-compile of the guard
-    // lattice and stays in "queries" for cross-round comparability;
-    // each warm entry is the MEDIAN of three fresh re-plans under
-    // warmed codegen/JIT state, so one host-steal burst cannot skew
-    // the committed number. Raw passes ride along in
-    // queries_warm_runs for forensics.
-    val warmSet = Set("q24_minhash_lsh", "q27_embedding_neardup",
-      "q30_neardup_clusters", "q32_image_neardup", "q33_drop_neardups",
-      "q36_image_drop_neardups")
-    val warmRuns = (if (skipQueries) Map.empty[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame]
-      else SparkEntry.queries.view.filterKeys(warmSet).toMap)
-      .toSeq.sortBy(_._1).map { case (name, fn) =>
-        name -> (1 to 3).map(_ => timeQuery(fn))
-      }
     def medianOf(vs: Seq[Option[Double]]): Option[Double] = {
       val ok = vs.flatten.sorted
       if (ok.isEmpty) None else Some(ok(ok.length / 2))
     }
     val warmJson =
-      if (warmRuns.isEmpty) ""
-      else warmRuns.map { case (k, vs) => "\"" + k + "\":" + render(medianOf(vs)) }
-        .mkString(""","queries_warm":{""", ",", "}") +
-        warmRuns.map { case (k, vs) =>
+      if (timed.isEmpty) ""
+      else timed.map { case (k, _, vs) =>
+        "\"" + k + "\":" + render(medianOf(vs))
+      }.mkString(""","queries_warm":{""", ",", "}") +
+        timed.map { case (k, _, vs) =>
           "\"" + k + "\":" + vs.map(render).mkString("[", ",", "]")
         }.mkString(""","queries_warm_runs":{""", ",", "}")
     // --- IVF build/query split (round 6) ------------------------------
@@ -236,7 +230,47 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
         }
         val qMed = qSecs.sorted.apply(qSecs.length / 2)
-        f""","ivf_build_sec":$buildSec%.3f,"ivf_query_sec_median":$qMed%.3f,"ivf_query_secs":${qSecs.map(s => f"$s%.3f").mkString("[", ",", "]")}"""
+        // --- measured ANN recall (round 7) ---------------------------
+        // recall@10 against brute-force cosine over a 100-query sample
+        // (every 20th vec_id), per nprobe for the IVF family and for
+        // the hyperplane LSH — the operating curve a deployment tunes
+        // nprobe/bits against. The planted-twin sbt tests prove the
+        // MECHANISM; this reports the operating POINT on the real
+        // corpus. All paths batched (one plan per configuration).
+        val qdf = emb.filter(col("vec_id") % 20 === 0)
+          .orderBy(col("vec_id")).limit(100)
+          .select(col("vec_id").as("query_id"),
+            col("embedding").as("_qvec"))
+        import org.apache.spark.sql.functions.{broadcast, round, row_number}
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("cos_sim").desc, col("vec_id").asc)
+        def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+          df.select(col("query_id").cast("long"), col("vec_id").cast("long"))
+            .collect().groupBy(_.getLong(0)).view
+            .mapValues(_.map(_.getLong(1)).toSet).toMap
+        val truth = topSets(emb.join(broadcast(qdf))
+          .select(col("query_id"), col("vec_id"),
+            round(graft.ops.SimilarityOps.cosine(
+              col("embedding"), col("_qvec")), 6).as("cos_sim"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10))
+        def recallOf(got: Map[Long, Set[Long]]): Double =
+          if (truth.isEmpty) 0.0
+          else truth.map { case (q, ts) =>
+            got.getOrElse(q, Set.empty).intersect(ts).size / 10.0
+          }.sum / truth.size
+        val ivfRecall = Seq(1, 2, 4, 8).map { np =>
+          np -> recallOf(topSets(graft.ops.SimilarityOps.ivfQueryBatch(
+            spark, index, qdf, "query_id", "_qvec", 10, np)))
+        }
+        val lshRecall = recallOf(topSets(graft.ops.SimilarityOps.lshTopKBatch(
+          emb, "vec_id", "embedding", qdf, "query_id", "_qvec", 10)))
+        val recallJson = s""","recall":{"k":10,"queries":${truth.size},""" +
+          ivfRecall.map { case (np, r) =>
+            f""""ivf_nprobe$np":$r%.4f""" }.mkString(",") +
+          f""","lsh_bits12":$lshRecall%.4f}"""
+        f""","ivf_build_sec":$buildSec%.3f,"ivf_query_sec_median":$qMed%.3f,"ivf_query_secs":${qSecs.map(s => f"$s%.3f").mkString("[", ",", "]")}$recallJson"""
       } catch { case _: Throwable => ""","ivf_build_sec":null""" }
     }
     val total = results.flatMap(_._2).sum + extractSec + invoiceSec

@@ -202,10 +202,19 @@ object Commit {
       .collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
       .toMap
+    // fpv is an EXPLICIT format version (advisor, round 6): any change
+    // to the fingerprint recipe or the snapshotId fields invalidates
+    // every sentinel written by prior releases, and the first run
+    // after an upgrade then pays a ONE-TIME full re-stage of all
+    // chunks — intentional (stale reuse would be worse), but operators
+    // should see a version bump in the sentinel rather than diagnose
+    // the rewrite as staleness. Bump fpv whenever the recipe changes
+    // (round 5 changed it silently: second DISTINCT fold + len/mtime
+    // in snapshotId).
     def fingerprint(k: Long): String = {
       val (dh, dhd, dn) = docSums.getOrElse(k, (0L, 0L, 0L))
       val (mh, mhd, mn) = mediaSums.getOrElse(k, (0L, 0L, 0L))
-      s"docs:$dh:$dhd:$dn media:$mh:$mhd:$mn layout=rowgroup4m"
+      s"fpv=7 docs:$dh:$dhd:$dn media:$mh:$mhd:$mn layout=rowgroup4m"
     }
     def sentinelPath(k: Long) = sentDir.resolve(s"chunk-$k")
     val live = docSums.keySet
