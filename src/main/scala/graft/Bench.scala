@@ -260,7 +260,7 @@ object Bench {
           else truth.map { case (q, ts) =>
             got.getOrElse(q, Set.empty).intersect(ts).size / 10.0
           }.sum / truth.size
-        val ivfRecall = Seq(1, 2, 4, 8).map { np =>
+        val ivfRecall = Seq(1, 2, 4, 8, 16).map { np =>
           np -> recallOf(topSets(graft.ops.SimilarityOps.ivfQueryBatch(
             spark, index, qdf, "query_id", "_qvec", 10, np)))
         }
