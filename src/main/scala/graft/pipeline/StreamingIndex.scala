@@ -23,7 +23,9 @@ import graft.ops.SimilarityOps
   * `cell` filter partition-pruning inside each root independently —
   * the probe cost stays ~nprobe/C of (base + deltas), never a rescan.
   * Delta-count growth is bounded by [[compact]], which folds committed
-  * deltas into the base exactly like [[Commit.compact]] folds chunk
+  * deltas into a NEW base generation behind an atomic pointer swap —
+  * reader-safe, crash-idempotent (round 7) — with [[vacuum]] retiring
+  * superseded generations the way [[Commit.vacuum]] retires chunk
   * files.
   */
 object StreamingIndex {
