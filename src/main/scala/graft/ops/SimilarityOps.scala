@@ -380,9 +380,14 @@ object SimilarityOps {
     * retried append overwrites it under a fresh token. The base table
     * is never touched, so a crash can no longer poison subsequent
     * reads with partial part-files. [[graft.pipeline.StreamingIndex
-    * .compact]] folds batch deltas and streaming deltas alike. Drift
-    * note: appends skew cell balance over time; watch [[ivfCellStats]]
-    * and rebuild with `refineIters > 0` when a cell runs hot.
+    * .compact]] folds batch deltas and streaming deltas alike.
+    * Single-writer per index (the suite-wide convention, parity with
+    * [[graft.pipeline.Commit]]): two appenders racing the token
+    * allocation could pick the same token — serialize appends, or use
+    * [[graft.pipeline.StreamingIndex]] where the checkpoint serializes
+    * arrival. Drift note: appends skew cell balance over time; watch
+    * [[ivfCellStats]] and rebuild with `refineIters > 0` when a cell
+    * runs hot.
     */
   def ivfAppend(index: IvfIndex, newVectors: DataFrame): IvfIndex = {
     import java.nio.file.{Files, Paths, StandardCopyOption}

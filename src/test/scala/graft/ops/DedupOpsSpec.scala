@@ -435,6 +435,18 @@ class DedupOpsSpec extends AnyFunSuite {
     val got = q(grown2)
     assert(got == q(full), s"$got vs ${q(full)}")
     assert(got.exists(_._1 == 999L), got.mkString(", "))
+    // the base ∪ append-delta union still partition-prunes in EVERY
+    // root (the q38 serving shape): one PartitionFilters-on-cell line
+    // per scan branch
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(out) {
+      SimilarityOps.ivfQueryById(spark, grown2, 0L, k = 3, nprobe = 2)
+        .explain("formatted")
+    }
+    val pfs = out.toString.linesIterator
+      .filter(_.contains("PartitionFilters")).toSeq
+    assert(pfs.size >= 2 && pfs.forall(_.contains("cell")),
+      pfs.mkString("\n"))
   }
 
   test("ivfQueryBatch: one plan answers many queries, pruned scan, per-query rank") {
