@@ -500,15 +500,32 @@ object SimilarityOps {
     * (0, empty) when absent — the fresh-build layout.
     */
   def ivfReadGeneration(indexDir: String): (Int, Set[String]) = {
+    val (gen, folded, _) = ivfReadGenerationFull(indexDir)
+    (gen, folded)
+  }
+
+  /** Full pointer: (generation, folded tokens, maxFoldedEpoch).
+    * `maxFoldedEpoch` is the highest STREAMING epoch id ever folded
+    * into any base generation — monotone, never pruned (one long, not
+    * a growing list). It outlives the folded list so that a crashed
+    * epoch replay arriving after compaction retired the manifest AND
+    * [[graft.pipeline.StreamingIndex.vacuum]] pruned the folded entry
+    * still cannot re-commit rows the base already holds. Consistent
+    * with the manifest convention's standing contract: one streaming
+    * checkpoint lineage per index dir (epoch ids are the dedup key).
+    */
+  def ivfReadGenerationFull(indexDir: String): (Int, Set[String], Long) = {
     val p = java.nio.file.Paths.get(indexDir, "generation.json")
-    if (!java.nio.file.Files.exists(p)) (0, Set.empty)
+    if (!java.nio.file.Files.exists(p)) (0, Set.empty, -1L)
     else {
       val json = java.nio.file.Files.readString(p)
       val gen = "\"gen\":(\\d+)".r.findFirstMatchIn(json)
         .map(_.group(1).toInt).getOrElse(0)
       val folded = "\"((?:epoch|append)-\\d+)\"".r.findAllMatchIn(json)
         .map(_.group(1)).toSet
-      (gen, folded)
+      val maxEpoch = "\"maxFoldedEpoch\":(-?\\d+)".r.findFirstMatchIn(json)
+        .map(_.group(1).toLong).getOrElse(-1L)
+      (gen, folded, maxEpoch)
     }
   }
 
@@ -518,9 +535,10 @@ object SimilarityOps {
     * its deltas or the new generation without them, never a mix.
     */
   def ivfWriteGeneration(
-      indexDir: String, gen: Int, folded: Set[String]): Unit = {
+      indexDir: String, gen: Int, folded: Set[String],
+      maxFoldedEpoch: Long = -1L): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val json = s"""{"gen":$gen,"folded":[""" +
+    val json = s"""{"gen":$gen,"maxFoldedEpoch":$maxFoldedEpoch,"folded":[""" +
       folded.toSeq.sorted.map("\"" + _ + "\"").mkString(",") + "]}"
     val tmp = Paths.get(indexDir, ".generation.json.tmp")
     Files.writeString(tmp, json)

@@ -59,9 +59,13 @@ object StreamingIndex {
         val manifest = SimilarityOps.ivfDeltaManifest(indexDir, epochId)
         // a replayed epoch is already committed (manifest) OR already
         // folded into the base by a compaction that retired its
-        // manifest — re-committing a folded epoch would double-count
-        val (_, folded) = SimilarityOps.ivfReadGeneration(indexDir)
-        if (!Files.exists(manifest) && !folded.contains(s"epoch-$epochId")) {
+        // manifest — re-committing a folded epoch would double-count.
+        // maxFoldedEpoch backstops the folded list after vacuum prunes
+        // it: any epoch id at or below it is in some base generation
+        val (_, folded, maxFolded) =
+          SimilarityOps.ivfReadGenerationFull(indexDir)
+        if (!Files.exists(manifest) && epochId > maxFolded &&
+            !folded.contains(s"epoch-$epochId")) {
           val deltaPath = SimilarityOps.ivfDeltaPath(indexDir, epochId)
           SimilarityOps.assignCells(batch, index)
             .sortWithinPartitions(col("cell"))
@@ -109,7 +113,8 @@ object StreamingIndex {
     * pause — it writes NEW epochs, which compact doesn't touch.
     */
   def compact(spark: SparkSession, indexDir: String): Unit = {
-    val (gen, folded) = SimilarityOps.ivfReadGeneration(indexDir)
+    val (gen, folded, maxFolded) =
+      SimilarityOps.ivfReadGenerationFull(indexDir)
     // finish a crashed prior compaction: retire manifests of tokens
     // already folded into the current base (readers exclude them via
     // the pointer either way)
@@ -131,8 +136,15 @@ object StreamingIndex {
     // bounded by the un-vacuumed token count
     val stillOnDisk = folded.filter(t => Files.isDirectory(
       Paths.get(SimilarityOps.ivfDeltaPathToken(indexDir, t))))
+    // maxFoldedEpoch advances monotonically over the streaming epochs
+    // folded THIS time — the permanent (one-long) replay backstop that
+    // survives folded-list pruning and vacuum
+    val newMaxFolded = (maxFolded +: tokens.collect {
+      case t if t.startsWith("epoch-") => t.stripPrefix("epoch-").toLong
+    }).max
     // THE commit point: atomic swap to the new generation + folded set
-    SimilarityOps.ivfWriteGeneration(indexDir, newGen, stillOnDisk ++ tokens)
+    SimilarityOps.ivfWriteGeneration(indexDir, newGen,
+      stillOnDisk ++ tokens, newMaxFolded)
     // retirement (idempotent cleanup — readers already exclude these)
     tokens.foreach(t =>
       Files.deleteIfExists(SimilarityOps.ivfDeltaManifestToken(indexDir, t)))
@@ -147,12 +159,17 @@ object StreamingIndex {
     * awaiting replay) are untouched.
     */
   def vacuum(indexDir: String): Unit = {
-    val (gen, folded) = SimilarityOps.ivfReadGeneration(indexDir)
+    val (gen, folded, maxFolded) =
+      SimilarityOps.ivfReadGenerationFull(indexDir)
     (0 until gen).foreach(g =>
       SimilarityOps.deleteRecursively(SimilarityOps.ivfCellsPath(indexDir, g)))
     folded.foreach(t =>
       SimilarityOps.deleteRecursively(
         SimilarityOps.ivfDeltaPathToken(indexDir, t)))
-    SimilarityOps.ivfWriteGeneration(indexDir, gen, Set.empty)
+    // folded list prunes (dirs are gone, nothing can resurrect);
+    // maxFoldedEpoch is PRESERVED — it is the one-long permanent
+    // backstop that keeps a crashed-epoch replay arriving after this
+    // vacuum from re-committing rows the base already holds
+    SimilarityOps.ivfWriteGeneration(indexDir, gen, Set.empty, maxFolded)
   }
 }

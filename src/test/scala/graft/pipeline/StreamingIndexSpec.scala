@@ -134,6 +134,23 @@ class StreamingIndexSpec extends AnyFunSuite {
     assert(Files.isDirectory(
       Paths.get(SimilarityOps.ivfDeltaPath(indexDir, 999L))))
     assert(q(SimilarityOps.ivfLoad(indexDir)) == streamed)
+
+    // maxFoldedEpoch SURVIVES vacuum (the one-long permanent replay
+    // backstop: a crashed epoch ≤ 1 replaying after the folded list
+    // was pruned is still skipped, never re-committed)...
+    val (gAfter, foldedAfter, maxFolded) =
+      SimilarityOps.ivfReadGenerationFull(indexDir)
+    assert(gAfter == 1 && foldedAfter.isEmpty && maxFolded == 1L,
+      s"($gAfter, $foldedAfter, $maxFolded)")
+    // ...while NEW arrivals on the same checkpoint continue normally
+    // (epoch 2 > maxFoldedEpoch) — life goes on after compact + vacuum
+    Seq((5555L, randVec())).toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("append").parquet(streamDir)
+    StreamingIndex.run(spark, streamDir, indexDir, ckpt).awaitTermination()
+    val idx5 = SimilarityOps.ivfLoad(indexDir)
+    assert(idx5.deltas.size == 1, idx5.deltas.toString) // the epoch-2 delta
+    assert(idx5.dataPaths.map(spark.read.parquet(_))
+      .reduce(_.unionByName(_)).count() == 202L) // 201 compacted + 1 new
   }
 
   test("compact is reader-safe with batch appends in the mix and idempotent under replay") {
