@@ -429,10 +429,19 @@ object SimilarityOps {
     val cents = "\\[([^\\[\\]]+)\\]".r.findAllMatchIn(
         json.substring(json.indexOf("\"centroids\"")))
       .map(_.group(1).split(",").map(_.toDouble).toSeq).toSeq
-    val (gen, _) = ivfReadGeneration(indexDir)
+    // Manifest listing BEFORE the single pointer read — the order that
+    // makes a load racing a compaction consistent: if the pointer
+    // (read second) still shows generation G, the swap had not yet
+    // happened when the earlier listing ran, so the listing is
+    // complete for G's delta set; if it already shows G+1, the folded
+    // filter strips exactly what G+1 absorbed (compaction retires
+    // manifests only AFTER the swap). Pointer-first would allow
+    // (old gen, post-retirement empty listing) — a handle silently
+    // missing the folded rows.
+    val listed = ivfManifestTokens(indexDir)
+    val (gen, folded, _) = ivfReadGenerationFull(indexDir)
     IvfIndex(indexDir, field("idCol"), field("vecCol"), cents,
-      ivfCommittedDeltaTokens(indexDir)
-        .map(t => ivfDeltaPathToken(indexDir, t)), gen)
+      listed.filterNot(folded).map(t => ivfDeltaPathToken(indexDir, t)), gen)
   }
 
   // --- delta layout (streaming epochs AND batch appends) -------------
@@ -486,8 +495,10 @@ object SimilarityOps {
     * are ignored rather than double-counted (advisor, round 6).
     */
   def ivfCommittedDeltaTokens(indexDir: String): Seq[String] = {
+    // same listing-before-pointer order as ivfLoad (see its comment)
+    val listed = ivfManifestTokens(indexDir)
     val (_, folded) = ivfReadGeneration(indexDir)
-    ivfManifestTokens(indexDir).filterNot(folded)
+    listed.filterNot(folded)
   }
 
   /** Streaming-epoch ids among the live committed deltas. */
