@@ -112,7 +112,15 @@ object StreamingIndex {
     * are left untouched for their replay; streaming ingestion needs no
     * pause — it writes NEW epochs, which compact doesn't touch.
     */
-  def compact(spark: SparkSession, indexDir: String): Unit = {
+  def compact(spark: SparkSession, indexDir: String): Unit =
+    compactImpl(spark, indexDir, () => ())
+
+  /** [[compact]] with a test seam after the token listing — the only
+    * way to exercise the listing-vs-fold race deterministically.
+    */
+  private[graft] def compactImpl(
+      spark: SparkSession, indexDir: String,
+      afterListing: () => Unit): Unit = {
     val (gen, folded, maxFolded) =
       SimilarityOps.ivfReadGenerationFull(indexDir)
     // finish a crashed prior compaction: retire manifests of tokens
@@ -122,7 +130,17 @@ object StreamingIndex {
       Files.deleteIfExists(SimilarityOps.ivfDeltaManifestToken(indexDir, t)))
     val tokens = SimilarityOps.ivfCommittedDeltaTokens(indexDir)
     if (tokens.isEmpty) return
-    val index = SimilarityOps.ivfLoad(indexDir)
+    afterListing()
+    // Pin the fold input to EXACTLY the token set recorded as folded
+    // below: ivfLoad performs its own (second) manifest listing, so an
+    // epoch committing between the listing above and the load would be
+    // folded into the new generation while staying a live delta (its
+    // token absent from the folded set) — a permanent double count.
+    // With the delta set overridden, fold-input ≡ recorded-folded-set
+    // by construction; a concurrently committed epoch stays a live
+    // delta for the NEXT compaction.
+    val index = SimilarityOps.ivfLoad(indexDir).copy(
+      deltas = tokens.map(t => SimilarityOps.ivfDeltaPathToken(indexDir, t)))
     val newGen = gen + 1
     // one read per root (a multi-root read trips partition-discovery's
     // conflicting-directory check: delta dirs aren't partition dirs)

@@ -185,4 +185,36 @@ class StreamingIndexSpec extends AnyFunSuite {
       idx.dataPaths.map(spark.read.parquet(_)).reduce(_.unionByName(_)).count()
     assert(totalRows(after) == 160L)
   }
+
+  test("a delta committed DURING compaction stays a live delta — counted once, folded next time") {
+    // the listing-vs-fold race: compact lists the committed tokens,
+    // then a concurrent writer commits a new delta before the fold
+    // reads the rows. The fold input is pinned to the LISTED set, so
+    // the late delta must neither fold early (it would double-count —
+    // in the base generation AND still manifest-live) nor vanish.
+    val root = Files.createTempDirectory("graft_sidx3").toString
+    val indexDir = s"$root/index"
+    val vrng = new scala.util.Random(43)
+    def randVec(): Array[Float] =
+      Array.fill(16)((vrng.nextDouble() * 2 - 1).toFloat)
+    val all = (0 until 200).map(i => (i.toLong, randVec()))
+    SimilarityOps.ivfBuild(all.take(120).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", indexDir, centroidEvery = 16, maxCentroids = 8)
+    SimilarityOps.ivfAppend(SimilarityOps.ivfLoad(indexDir),
+      all.slice(120, 160).toDF("vec_id", "embedding"))
+    StreamingIndex.compactImpl(spark, indexDir, afterListing = () =>
+      // the concurrent commit, interleaved exactly in the race window
+      SimilarityOps.ivfAppend(SimilarityOps.ivfLoad(indexDir),
+        all.drop(160).toDF("vec_id", "embedding")))
+    val mid = SimilarityOps.ivfLoad(indexDir)
+    def totalRows(idx: SimilarityOps.IvfIndex): Long =
+      idx.dataPaths.map(spark.read.parquet(_)).reduce(_.unionByName(_)).count()
+    assert(mid.gen == 1, mid.toString)
+    assert(mid.deltas.size == 1, mid.deltas.toString) // late delta LIVE
+    assert(totalRows(mid) == 200L)                    // each row ONCE
+    StreamingIndex.compact(spark, indexDir)           // folds the late one
+    val after = SimilarityOps.ivfLoad(indexDir)
+    assert(after.gen == 2 && after.deltas.isEmpty, after.toString)
+    assert(totalRows(after) == 200L)
+  }
 }
