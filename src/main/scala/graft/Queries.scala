@@ -711,6 +711,30 @@ object Queries {
         .distinct()
       DedupOps.dropNearDups(corpus.select(col("id")), "id", pairs)
         .select(col("id"))
+    }),
+
+    // Recall-TUNED batch serving (round 7): the full tune-then-serve
+    // loop under one oracle. The curve is measured analytically in one
+    // corpus pass — each exact-top-10 row's cell has a probe-rank in
+    // its query's descending-raw-dot centroid order, and that rank IS
+    // the smallest nprobe that surfaces the row (visible exact-top-k
+    // members always make the served top-k, since serving re-ranks by
+    // the same exact cosine). hits(n) accumulates over a 10-query
+    // sample (vec_id % 50), the chosen nprobe is the smallest with
+    // hits(n)·10^6 ≥ 600000·Q·k — an ALL-INTEGER threshold (the
+    // thresholdX1M convention, no float compare can straddle engine
+    // boundaries) — and the q37 serving lattice runs at that nprobe,
+    // which the output carries as a column so the tuning DECISION is
+    // itself oracle-checked.
+    "q40_ivf_recall_tuned" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val index = cachedIvf(s"q40:$dir")(d => SimilarityOps.ivfBuild(
+        emb, "vec_id", "embedding", d, centroidEvery = 64,
+        maxCentroids = 64))
+      SimilarityOps.ivfQueryBatchAtRecall(s, index,
+        sample = emb.filter(col("vec_id") % 50 === 0),
+        queries = emb.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", k = 10, targetX1M = 600000L)
     })
   )
 
@@ -1411,6 +1435,96 @@ object Queries {
                    SELECT r.src, e.b AS dst FROM reach r JOIN e ON r.dst = e.a),
          lab AS (SELECT src AS id, least(src, min(dst)) AS cluster FROM reach GROUP BY src)
          SELECT id FROM docs
-         WHERE id NOT IN (SELECT id FROM lab WHERE cluster <> id)"""
+         WHERE id NOT IN (SELECT id FROM lab WHERE cluster <> id)""",
+
+    // Recall-tuned serving twin: the q35 assignment lattice, then the
+    // MEASUREMENT — exact top-10 per sample query (explicit
+    // double-precision fold, the q37 precedent), each hit's cell
+    // mapped to its probe-rank in the query's descending-raw-dot
+    // centroid order (the smallest nprobe that surfaces it), the
+    // cumulative curve, and the smallest n with
+    // hits(n)·10^6 ≥ 600000·Q·k (all-integer compare; fallback = C) —
+    // then the q37 serving lattice at that nprobe, with the chosen
+    // value in the output.
+    "q40_ivf_recall_tuned" ->
+      """WITH cents AS (
+           SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cidx,
+                  embedding AS cvec
+           FROM (SELECT vec_id, embedding FROM embeddings
+                 WHERE vec_id % 64 = 0 ORDER BY vec_id LIMIT 64)),
+         dots AS (
+           SELECT e.vec_id, e.embedding, c.cidx,
+                  list_sum(list_transform(range(1, len(e.embedding) + 1),
+                    j -> CAST(e.embedding[j] AS DOUBLE) * CAST(c.cvec[j] AS DOUBLE))) AS d
+           FROM embeddings e CROSS JOIN cents c),
+         assign AS (
+           SELECT vec_id, embedding, cidx AS cell FROM (
+             SELECT vec_id, embedding, cidx,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cidx) AS rn
+             FROM dots) WHERE rn = 1),
+         sq AS (SELECT vec_id AS query_id, embedding AS qv
+                FROM embeddings WHERE vec_id % 50 = 0),
+         cellrank AS (
+           SELECT q.query_id, d.cidx AS cell,
+                  row_number() OVER (PARTITION BY q.query_id ORDER BY d.d DESC, d.cidx) AS cr
+           FROM dots d JOIN sq q ON d.vec_id = q.query_id),
+         escore AS (
+           SELECT q.query_id, a.vec_id, a.cell,
+                  round(
+                    list_sum(list_transform(range(1, len(a.embedding) + 1),
+                      j -> CAST(a.embedding[j] AS DOUBLE) * CAST(q.qv[j] AS DOUBLE)))
+                    / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                         j -> CAST(a.embedding[j] AS DOUBLE) * CAST(a.embedding[j] AS DOUBLE))))
+                     * sqrt(list_sum(list_transform(range(1, len(q.qv) + 1),
+                         j -> CAST(q.qv[j] AS DOUBLE) * CAST(q.qv[j] AS DOUBLE)))))
+                  , 6) AS cos_sim
+           FROM assign a CROSS JOIN sq q),
+         exactk AS (
+           SELECT query_id, cell FROM (
+             SELECT query_id, vec_id, cell,
+                    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
+             FROM escore) WHERE rank <= 10),
+         hits AS (
+           SELECT e.query_id, cr.cr
+           FROM exactk e JOIN cellrank cr
+             ON cr.query_id = e.query_id AND cr.cell = e.cell),
+         curve AS (
+           SELECT r.n, count(h.cr) AS hits_n
+           FROM (SELECT CAST(row_number() OVER (ORDER BY cidx) AS INTEGER) AS n
+                 FROM cents) r
+           LEFT JOIN hits h ON h.cr <= r.n
+           GROUP BY r.n),
+         chosen AS (
+           SELECT CAST(coalesce(min(n), (SELECT count(*) FROM cents)) AS INTEGER) AS np
+           FROM curve
+           WHERE hits_n * CAST(1000000 AS BIGINT) >=
+                 CAST(600000 AS BIGINT) * (SELECT count(*) FROM sq) * 10),
+         qs AS (SELECT vec_id AS query_id, embedding AS qv
+                FROM embeddings WHERE vec_id % 100 = 0),
+         probes AS (
+           SELECT query_id, cidx AS cell FROM (
+             SELECT q.query_id, d.cidx,
+                    row_number() OVER (PARTITION BY q.query_id ORDER BY d.d DESC, d.cidx) AS rn
+             FROM dots d JOIN qs q ON d.vec_id = q.query_id)
+           WHERE rn <= (SELECT np FROM chosen)),
+         cand AS (
+           SELECT p.query_id, a.vec_id,
+                  round(
+                    list_sum(list_transform(range(1, len(a.embedding) + 1),
+                      j -> CAST(a.embedding[j] AS DOUBLE) * CAST(q.qv[j] AS DOUBLE)))
+                    / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                         j -> CAST(a.embedding[j] AS DOUBLE) * CAST(a.embedding[j] AS DOUBLE))))
+                     * sqrt(list_sum(list_transform(range(1, len(q.qv) + 1),
+                         j -> CAST(q.qv[j] AS DOUBLE) * CAST(q.qv[j] AS DOUBLE)))))
+                  , 6) AS cos_sim
+           FROM assign a JOIN probes p ON a.cell = p.cell
+                JOIN qs q ON q.query_id = p.query_id),
+         ranked AS (
+           SELECT query_id, vec_id, cos_sim,
+                  row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
+           FROM cand)
+         SELECT query_id, vec_id, cos_sim, CAST(rank AS INTEGER) AS rank,
+                (SELECT np FROM chosen) AS nprobe
+         FROM ranked WHERE rank <= 10"""
   )
 }

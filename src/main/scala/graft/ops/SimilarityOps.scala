@@ -566,6 +566,148 @@ object SimilarityOps {
     readCells(spark, index)
       .groupBy(col("cell")).agg(count(lit(1)).as("n"))
 
+  /** Measure the index's recall@k-vs-nprobe curve on a query sample —
+    * in ONE corpus pass, for EVERY nprobe at once. The analytic trick:
+    * [[ivfQueryBatch]] re-ranks visible candidates by exact cosine
+    * with the same (desc cos, asc id) order the exact top-k uses, so
+    * an exact-top-k member that is VISIBLE at nprobe n is necessarily
+    * IN the served top-k at nprobe n (any row beating it would itself
+    * be an exact-top-k member). Visibility of a row is determined by
+    * one number: the probe-rank of its cell in the query's
+    * descending-raw-dot centroid order. So the whole curve falls out
+    * of the exact top-k (one brute-force pass over the index rows,
+    * Q-sample × corpus scored) joined to the per-query cell ranking
+    * (plan-side vs the literal centroid matrix — the exact
+    * [[ivfQueryBatch]] probe lattice):
+    * `hits(n) = Σ_q |{exact top-k of q} with cell-rank ≤ n|`,
+    * `recall@k(nprobe=n) = hits(n) / (Q·k)`.
+    *
+    * Returns the CUMULATIVE hit counts (`hits(1)..hits(C)`) plus Q —
+    * integers, so downstream threshold decisions
+    * ([[ivfNprobeForRecall]]) are exact and cross-engine stable (the
+    * `thresholdX1M` convention). Collects are bounded by C (the
+    * per-rank histogram) — never query- or corpus-sized. Cost is the
+    * honest price of measuring recall: one scan of the index rows
+    * with |sample| scores per row; sample accordingly.
+    */
+  def ivfRecallHits(
+      spark: org.apache.spark.sql.SparkSession, index: IvfIndex,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int): (Seq[Long], Long) = {
+    val mat = typedlit(index.centroids)
+    val nc = index.centroids.length
+    val qv = queries.select(col(qidCol).as("query_id"),
+      col(qvecCol).as("_qvec"))
+    // per-query cell ranking, plan-side (the ivfQueryBatch probe
+    // lattice with the full ranking kept, not sliced to nprobe)
+    val cellRanks = qv
+      .select(col("query_id"),
+        transform(mat, c =>
+          aggregate(zip_with(col("_qvec"), c, (x, cc) => x.cast("double") * cc),
+            lit(0.0), (acc, x) => acc + x)).as("_dots"))
+      .select(col("query_id"),
+        posexplode(transform(
+          array_sort(zip_with(
+            col("_dots"), sequence(lit(0), lit(nc - 1)),
+            (d, i) => struct((-d).as("nd"), i.as("cell")))),
+          p => p("cell").cast("int"))).as(Seq("pos", "cell")))
+      .select(col("query_id"), col("cell"),
+        (col("pos") + 1).cast("int").as("cellrank"))
+    // exact top-k per query over the index rows (which carry `cell`)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col(index.idCol).asc)
+    val exactTopK = readCells(spark, index)
+      .join(broadcast(qv))
+      .select(col("query_id"), col(index.idCol), col("cell"),
+        round(cosine(col(index.vecCol), col("_qvec")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cell"))
+    val perRank = exactTopK
+      .join(cellRanks, Seq("query_id", "cell"))
+      .groupBy(col("cellrank")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val cum = (1 to nc).scanLeft(0L)((acc, n) =>
+      acc + perRank.getOrElse(n, 0L)).tail
+    (cum, queries.select(col(qidCol)).distinct().count())
+  }
+
+  /** Smallest nprobe whose measured recall meets the target —
+    * `hits(n)·10^6 ≥ targetX1M·Q·k`, an ALL-INTEGER comparison (no
+    * float threshold can straddle an engine boundary); the full scan
+    * (nprobe = C, recall 1 by construction) when no measured point
+    * reaches the target.
+    */
+  def ivfNprobeForRecall(
+      hits: Seq[Long], numQueries: Long, k: Int, targetX1M: Long): Int =
+    hits.indexWhere(_ * 1000000L >= targetX1M * numQueries * k) match {
+      case -1 => hits.length
+      case i  => i + 1
+    }
+
+  /** Persist a measured curve beside the centroids (recall.json, tmp +
+    * atomic rename — the manifest convention) so a query-only session
+    * tunes nprobe without re-measuring. The curve describes the base
+    * generation + deltas it was measured over; re-measure after
+    * compaction-scale ingest or a rebuild (ivfBuild starts a fresh
+    * index dir layout but leaves a stale recall.json untouched only if
+    * the caller reuses the dir — the k/queries stamp is the tell).
+    */
+  def ivfWriteRecall(
+      indexDir: String, k: Int, numQueries: Long, hits: Seq[Long]): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val json = s"""{"k":$k,"queries":$numQueries,"hits":[""" +
+      hits.mkString(",") + "]}"
+    val tmp = Paths.get(indexDir, ".recall.json.tmp")
+    Files.writeString(tmp, json)
+    Files.move(tmp, Paths.get(indexDir, "recall.json"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Read a persisted curve: (k, queries, cumulative hits). */
+  def ivfReadRecall(indexDir: String): Option[(Int, Long, Seq[Long])] = {
+    val p = java.nio.file.Paths.get(indexDir, "recall.json")
+    if (!java.nio.file.Files.exists(p)) None
+    else {
+      val json = java.nio.file.Files.readString(p)
+      def num(name: String): Long =
+        ("\"" + name + "\":(\\d+)").r.findFirstMatchIn(json)
+          .map(_.group(1).toLong)
+          .getOrElse(sys.error(s"bad recall.json: no $name"))
+      val hits = "\\[([^\\]]*)\\]".r.findFirstMatchIn(json)
+        .map(_.group(1)).filter(_.nonEmpty)
+        .map(_.split(",").map(_.trim.toLong).toSeq).getOrElse(Nil)
+      Some((num("k").toInt, num("queries"), hits))
+    }
+  }
+
+  /** Recall-targeted batch serving: measure the curve on `sample`
+    * (persisting it beside the index), pick the smallest nprobe
+    * meeting `targetX1M` recall@`k`, serve the batch at that nprobe —
+    * the full tune-then-serve loop a deployment runs, as one call. A
+    * curve already persisted WITH THE SAME k and query count is
+    * reused (the query-only fast path). Output adds the chosen
+    * `nprobe` as a column so the decision itself is part of the
+    * verifiable result.
+    */
+  def ivfQueryBatchAtRecall(
+      spark: org.apache.spark.sql.SparkSession, index: IvfIndex,
+      sample: DataFrame, queries: DataFrame, qidCol: String,
+      qvecCol: String, k: Int, targetX1M: Long): DataFrame = {
+    val sampleN = sample.select(col(qidCol)).distinct().count()
+    val (hits, nq) = ivfReadRecall(index.root) match {
+      case Some((pk, pq, ph)) if pk == k && pq == sampleN => (ph, pq)
+      case _ =>
+        val (h, n) = ivfRecallHits(spark, index, sample, qidCol, qvecCol, k)
+        ivfWriteRecall(index.root, k, n, h)
+        (h, n)
+    }
+    val np = ivfNprobeForRecall(hits, nq, k, targetX1M)
+    ivfQueryBatch(spark, index, queries, qidCol, qvecCol, k, np)
+      .withColumn("nprobe", lit(np).cast("int"))
+  }
+
   /** Query a materialized index with an explicit query vector: probe
     * cells are ranked DRIVER-SIDE against the persisted centroids
     * (≤ C dot products — no corpus scan, no join), and the candidate

@@ -549,6 +549,77 @@ class DedupOpsSpec extends AnyFunSuite {
       f"refined $refinedRecall%.2f must beat sampled $sampledRecall%.2f")
   }
 
+  test("ivfRecallHits: analytic curve ≡ direct measurement; tuned serving follows the persisted curve") {
+    // the measured operating curve (round 7): hits(n) counts exact
+    // top-k members whose cell has probe-rank ≤ n — the claim is that
+    // this ONE-PASS analytic curve equals the direct measurement
+    // (served top-k ∩ brute-force top-k) at EVERY nprobe, because a
+    // visible exact-top-k member always makes the served top-k (both
+    // rank by the same exact cosine + id tie-break).
+    val vrng = new scala.util.Random(31)
+    def randVec(): Array[Float] =
+      Array.fill(16)((vrng.nextDouble() * 2 - 1).toFloat)
+    val base = (0 until 240).map(i => (i.toLong, randVec()))
+    val root = java.nio.file.Files.createTempDirectory("ivf_recall").toString
+    val emb = base.toDF("vec_id", "embedding")
+    val index = SimilarityOps.ivfBuild(emb, "vec_id", "embedding",
+      s"$root/index", centroidEvery = 16, maxCentroids = 8)
+    val sample = emb.filter(col("vec_id") % 40 === 0) // 6 queries
+    val k = 5
+    val (hits, nq) = SimilarityOps.ivfRecallHits(
+      spark, index, sample, "vec_id", "embedding", k)
+    assert(nq == 6L && hits.length == 8, s"$nq ${hits.length}")
+    // cumulative-monotone; the full scan (nprobe = C) finds everything
+    assert(hits == hits.sorted, hits.toString)
+    assert(hits.last == nq * k, hits.toString)
+    // analytic ≡ direct at every nprobe
+    val qids = sample.select(col("vec_id")).as[Long].collect().sorted
+    val truth = qids.map(q => q -> SimilarityOps
+      .bruteForceTopK(emb, "vec_id", "embedding", q, k)
+      .select("vec_id").as[Long].collect().toSet).toMap
+    (1 to 8).foreach { np =>
+      val served = SimilarityOps.ivfQueryBatch(spark, index, sample,
+        "vec_id", "embedding", k, np)
+        .select(col("query_id").cast("long"), col("vec_id"))
+        .as[(Long, Long)].collect().groupBy(_._1).view
+        .mapValues(_.map(_._2).toSet).toMap
+      val direct = qids.map(q =>
+        truth(q).intersect(served.getOrElse(q, Set.empty)).size.toLong).sum
+      assert(direct == hits(np - 1),
+        s"nprobe $np: direct $direct vs analytic ${hits(np - 1)}")
+    }
+    // integer threshold selection: exact boundaries, fallback = C
+    assert(SimilarityOps.ivfNprobeForRecall(Seq(5L, 8L, 10L), 1L, 10, 800000L) == 2)
+    assert(SimilarityOps.ivfNprobeForRecall(Seq(5L, 8L, 10L), 1L, 10, 800001L) == 3)
+    assert(SimilarityOps.ivfNprobeForRecall(Seq(5L, 8L, 9L), 1L, 10, 999999L) == 3)
+    // tuned serving: measures, persists, serves at the chosen nprobe —
+    // result ≡ plain ivfQueryBatch at that nprobe plus the nprobe col
+    val queries = emb.filter(col("vec_id") % 120 === 0)
+    val target = 600000L
+    val tuned = SimilarityOps.ivfQueryBatchAtRecall(spark, index,
+      sample, queries, "vec_id", "embedding", k, target)
+    val npChosen = SimilarityOps.ivfNprobeForRecall(hits, nq, k, target)
+    assert(tuned.select(col("nprobe")).distinct().as[Int].collect()
+      .toSeq == Seq(npChosen))
+    assert(SimilarityOps.ivfReadRecall(s"$root/index")
+      .contains((k, nq, hits)))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("query_id").cast("long"), col("vec_id"),
+        col("cos_sim"), col("rank")).as[(Long, Long, Double, Int)]
+        .collect().toSet
+    assert(rows(tuned) == rows(SimilarityOps.ivfQueryBatch(
+      spark, index, queries, "vec_id", "embedding", k, npChosen)))
+    // the query-only fast path REUSES a persisted curve with matching
+    // (k, Q) instead of re-measuring: plant a fake curve that already
+    // meets any target at nprobe 1 — the next call must follow it
+    SimilarityOps.ivfWriteRecall(s"$root/index", k, nq,
+      Seq.fill(8)(nq * k))
+    val tuned2 = SimilarityOps.ivfQueryBatchAtRecall(spark, index,
+      sample, queries, "vec_id", "embedding", k, target)
+    assert(tuned2.select(col("nprobe")).distinct().as[Int].collect()
+      .toSeq == Seq(1))
+  }
+
   test("lshTopK (default splitmix hyperplanes) surfaces a planted near-identical vector") {
     val vrng = new scala.util.Random(7)
     def randVec(): Array[Float] =
