@@ -230,6 +230,20 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
         }
         val qMed = qSecs.sorted.apply(qSecs.length / 2)
+        // SQ8 serving (round 7): same query through the quantized
+        // scoring pass + exact re-rank — at 100 TB this pass reads
+        // ~1/4 the bytes; here it evidences the path's latency parity
+        val sqDir = java.nio.file.Files
+          .createTempDirectory("graft_bench_sq8").toString
+        val sqIndex = graft.ops.SimilarityOps.ivfBuild(
+          emb, "vec_id", "embedding", sqDir, quantize = true)
+        val sqSecs = (1 to 5).map { _ =>
+          val t0 = System.nanoTime()
+          graft.ops.SimilarityOps.ivfQuerySQ(
+            spark, sqIndex, qv, 10, 4).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val sqMed = sqSecs.sorted.apply(sqSecs.length / 2)
         // --- measured ANN recall (round 7) ---------------------------
         // recall@10 against brute-force cosine over a 100-query sample
         // (every 20th vec_id), per nprobe for the IVF family and for
@@ -270,7 +284,9 @@ object Bench {
           ivfRecall.map { case (np, r) =>
             f""""ivf_nprobe$np":$r%.4f""" }.mkString(",") +
           f""","lsh_bits12":$lshRecall%.4f}"""
-        f""","ivf_build_sec":$buildSec%.3f,"ivf_query_sec_median":$qMed%.3f,"ivf_query_secs":${qSecs.map(s => f"$s%.3f").mkString("[", ",", "]")}$recallJson"""
+        graft.ops.SimilarityOps.deleteRecursively(ivfDir)
+        graft.ops.SimilarityOps.deleteRecursively(sqDir)
+        f""","ivf_build_sec":$buildSec%.3f,"ivf_query_sec_median":$qMed%.3f,"ivf_query_secs":${qSecs.map(s => f"$s%.3f").mkString("[", ",", "]")},"sq8_query_sec_median":$sqMed%.3f,"sq8_query_secs":${sqSecs.map(s => f"$s%.3f").mkString("[", ",", "]")}$recallJson"""
       } catch { case _: Throwable => ""","ivf_build_sec":null""" }
     }
     val total = results.flatMap(_._2).sum + extractSec + invoiceSec

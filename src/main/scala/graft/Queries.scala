@@ -735,6 +735,29 @@ object Queries {
         sample = emb.filter(col("vec_id") % 50 === 0),
         queries = emb.filter(col("vec_id") % 100 === 0),
         "vec_id", "embedding", k = 10, targetX1M = 600000L)
+    }),
+
+    // SQ8 quantized serving with exact re-rank (round 7): the index
+    // is built with int8 scalar quantization (per-vector
+    // scale = maxabs/127, codes = clamp(round-half-away(x/scale)),
+    // precomputed code norm — graft.exprs.Int8Pack, a native Catalyst
+    // expression), the scoring pass ranks candidates by the
+    // asymmetric int8 dot (graft.exprs.Int8Dot, codegen'd byte loop)
+    // over ONLY the code/cnorm columns — a quarter of the bytes — and
+    // the top k·rerank survivors are re-ranked by exact cosine. The
+    // oracle replays the whole lattice: q35's probes, the
+    // quantization arithmetic (DuckDB round(DOUBLE) is the same
+    // half-away-from-zero the expression implements exactly), the
+    // approximate ranking, and the exact re-rank.
+    "q41_sq8_rerank_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val index = cachedIvf(s"q41:$dir")(d => SimilarityOps.ivfBuild(
+        emb, "vec_id", "embedding", d, centroidEvery = 64,
+        maxCentroids = 64, quantize = true))
+      val qv = emb.filter(col("vec_id") === 0L).select(col("embedding"))
+        .head().getSeq[Float](0).map(_.toDouble).toSeq
+      SimilarityOps.ivfQuerySQ(s, index, qv, k = 10, nprobe = 4,
+        rerank = 4)
     })
   )
 
@@ -1525,6 +1548,90 @@ object Queries {
            FROM cand)
          SELECT query_id, vec_id, cos_sim, CAST(rank AS INTEGER) AS rank,
                 (SELECT np FROM chosen) AS nprobe
+         FROM ranked WHERE rank <= 10""",
+
+    // SQ8 twin: q35's assignment + probes, then the quantization
+    // lattice per probed candidate — scale = maxabs/127, code_j =
+    // clamp(round(x_j/scale)) (DuckDB round(DOUBLE) = half away from
+    // zero, exactly the engine's Int8Pack rounding), cnorm = √Σcode²
+    // — the asymmetric approximate score Σ q_j·code_j / (qnorm·cnorm)
+    // ranks candidates (raw doubles, id tie-break), the top
+    // k·rerank = 40 survive, and the exact-cosine re-rank (explicit
+    // double fold, q37 precedent) yields the final top 10.
+    "q41_sq8_rerank_topk" ->
+      """WITH cents AS (
+           SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cidx,
+                  embedding AS cvec
+           FROM (SELECT vec_id, embedding FROM embeddings
+                 WHERE vec_id % 64 = 0 ORDER BY vec_id LIMIT 64)),
+         dots AS (
+           SELECT e.vec_id, e.embedding, c.cidx,
+                  list_sum(list_transform(range(1, len(e.embedding) + 1),
+                    j -> CAST(e.embedding[j] AS DOUBLE) * CAST(c.cvec[j] AS DOUBLE))) AS d
+           FROM embeddings e CROSS JOIN cents c),
+         assign AS (
+           SELECT vec_id, embedding, cidx AS cell FROM (
+             SELECT vec_id, embedding, cidx,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cidx) AS rn
+             FROM dots) WHERE rn = 1),
+         probes AS (
+           SELECT cidx AS cell FROM (
+             SELECT cidx, row_number() OVER (ORDER BY d DESC, cidx) AS rn
+             FROM dots WHERE vec_id = 0) WHERE rn <= 4),
+         q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         qn AS (SELECT sqrt(list_sum(list_transform(range(1, len(qv) + 1),
+                  j -> CAST(qv[j] AS DOUBLE) * CAST(qv[j] AS DOUBLE)))) AS qnorm
+                FROM q),
+         cand0 AS (
+           SELECT a.vec_id, a.embedding
+           FROM assign a JOIN probes p ON a.cell = p.cell),
+         sc AS (
+           SELECT vec_id, embedding,
+                  list_max(list_transform(embedding,
+                    x -> abs(CAST(x AS DOUBLE)))) / 127 AS scale
+           FROM cand0),
+         codes AS (
+           SELECT vec_id, embedding,
+                  CASE WHEN scale > 0 THEN
+                    list_transform(embedding, x ->
+                      greatest(CAST(-127 AS DOUBLE), least(CAST(127 AS DOUBLE),
+                        round(CAST(x AS DOUBLE) / scale))))
+                  ELSE list_transform(embedding, x -> CAST(0 AS DOUBLE))
+                  END AS code
+           FROM sc),
+         cn AS (
+           SELECT vec_id, embedding, code,
+                  sqrt(list_sum(list_transform(code, c -> c * c))) AS cnorm
+           FROM codes),
+         ap AS (
+           SELECT c.vec_id, c.embedding,
+                  CASE WHEN c.cnorm > 0 THEN
+                    list_sum(list_transform(range(1, len(c.code) + 1),
+                      j -> CAST(q.qv[j] AS DOUBLE) * c.code[j]))
+                    / ((SELECT qnorm FROM qn) * c.cnorm)
+                  ELSE 0.0 END AS approx_sim
+           FROM cn c CROSS JOIN q),
+         topr AS (
+           SELECT vec_id, embedding FROM (
+             SELECT vec_id, embedding,
+                    row_number() OVER (ORDER BY approx_sim DESC, vec_id) AS rn
+             FROM ap) WHERE rn <= 40),
+         ex AS (
+           SELECT t.vec_id,
+                  round(
+                    list_sum(list_transform(range(1, len(t.embedding) + 1),
+                      j -> CAST(t.embedding[j] AS DOUBLE) * CAST(q.qv[j] AS DOUBLE)))
+                    / (sqrt(list_sum(list_transform(range(1, len(t.embedding) + 1),
+                         j -> CAST(t.embedding[j] AS DOUBLE) * CAST(t.embedding[j] AS DOUBLE))))
+                     * sqrt(list_sum(list_transform(range(1, len(q.qv) + 1),
+                         j -> CAST(q.qv[j] AS DOUBLE) * CAST(q.qv[j] AS DOUBLE)))))
+                  , 6) AS cos_sim
+           FROM topr t CROSS JOIN q),
+         ranked AS (
+           SELECT vec_id, cos_sim,
+                  row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rank
+           FROM ex)
+         SELECT vec_id, cos_sim, CAST(rank AS INTEGER) AS rank
          FROM ranked WHERE rank <= 10"""
   )
 }

@@ -198,7 +198,7 @@ object SimilarityOps {
   final case class IvfIndex(
       root: String, idCol: String, vecCol: String,
       centroids: Seq[Seq[Double]], deltas: Seq[String] = Nil,
-      gen: Int = 0) {
+      gen: Int = 0, quantized: Boolean = false) {
     def cellsPath: String = ivfCellsPath(root, gen)
     def dataPaths: Seq[String] = cellsPath +: deltas
   }
@@ -224,10 +224,25 @@ object SimilarityOps {
 
   /** Assign rows to the index's cells with its frozen centroid matrix
     * — the exact argmax the build used, exposed for incremental paths
-    * ([[ivfAppend]], [[graft.pipeline.StreamingIndex]]).
+    * ([[ivfAppend]], [[graft.pipeline.StreamingIndex]]). On a
+    * quantized index ([[ivfBuild]] `quantize = true`) the SQ8 columns
+    * are derived here too, so every writer — build, batch append,
+    * streaming delta — produces the same cell schema. The struct is
+    * projected FIRST (interpreted-expression pitfall: three field
+    * extractions over an inline [[graft.exprs.Int8Pack]] call would
+    * re-pack per reference; the non-cheap struct blocks
+    * CollapseProject, so one pack feeds all three).
     */
-  def assignCells(df: DataFrame, index: IvfIndex): DataFrame =
-    withCellOf(df, index.idCol, index.vecCol, index.centroids)
+  def assignCells(df: DataFrame, index: IvfIndex): DataFrame = {
+    val assigned = withCellOf(df, index.idCol, index.vecCol, index.centroids)
+    if (!index.quantized) assigned
+    else assigned
+      .select(col(index.idCol), col(index.vecCol), col("cell"),
+        call_function("int8_pack", col(index.vecCol)).as("_sq8"))
+      .select(col(index.idCol), col(index.vecCol),
+        col("_sq8.code").as("code8"), col("_sq8.scale").as("scale8"),
+        col("_sq8.cnorm").as("cnorm8"), col("cell"))
+  }
 
   /** Driver-side twin of the assignment/probe dot product: the HOF
     * fold `aggregate(zip_with(vec, c, x·c), 0.0, +)` sums strictly
@@ -332,7 +347,8 @@ object SimilarityOps {
   def ivfBuild(
       embeddings: DataFrame, idCol: String, vecCol: String,
       indexDir: String, centroidEvery: Long = 64,
-      maxCentroids: Int = 64, refineIters: Int = 0): IvfIndex = {
+      maxCentroids: Int = 64, refineIters: Int = 0,
+      quantize: Boolean = false): IvfIndex = {
     val sampled = sampleCentroids(embeddings, idCol, vecCol,
       centroidEvery, maxCentroids)
     require(sampled.nonEmpty, "no centroids sampled — lower centroidEvery")
@@ -340,14 +356,16 @@ object SimilarityOps {
       if (refineIters > 0)
         refineCentroids(embeddings, idCol, vecCol, sampled, refineIters)
       else sampled
-    withCellOf(embeddings, idCol, vecCol, cents)
+    val idx0 = IvfIndex(indexDir, idCol, vecCol, cents,
+      quantized = quantize)
+    assignCells(embeddings, idx0)
       .sortWithinPartitions(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$indexDir/cells")
     // java.lang.Double.toString is the shortest exact round-trip
     // rendering; parsing it back yields the identical bits
     val json = "{\"idCol\":\"" + idCol + "\",\"vecCol\":\"" + vecCol +
-      "\",\"centroids\":[" +
+      "\",\"sq8\":" + quantize + ",\"centroids\":[" +
       cents.map(_.map(d => java.lang.Double.toString(d))
         .mkString("[", ",", "]")).mkString(",") + "]}"
     java.nio.file.Files.writeString(
@@ -359,7 +377,7 @@ object SimilarityOps {
     ivfManifestTokens(indexDir).foreach(t =>
       java.nio.file.Files.deleteIfExists(ivfDeltaManifestToken(indexDir, t)))
     ivfWriteGeneration(indexDir, 0, Set.empty)
-    IvfIndex(indexDir, idCol, vecCol, cents)
+    idx0
   }
 
   /** Incrementally add vectors to a materialized index — the classic
@@ -441,7 +459,8 @@ object SimilarityOps {
     val listed = ivfManifestTokens(indexDir)
     val (gen, folded, _) = ivfReadGenerationFull(indexDir)
     IvfIndex(indexDir, field("idCol"), field("vecCol"), cents,
-      listed.filterNot(folded).map(t => ivfDeltaPathToken(indexDir, t)), gen)
+      listed.filterNot(folded).map(t => ivfDeltaPathToken(indexDir, t)), gen,
+      quantized = json.contains("\"sq8\":true"))
   }
 
   // --- delta layout (streaming epochs AND batch appends) -------------
@@ -735,6 +754,63 @@ object SimilarityOps {
       .orderBy(col("cos_sim").desc, col(index.idCol).asc).limit(k)
     withRank(top, index.idCol)
   }
+
+  /** [[ivfQuery]] over the SQ8-quantized codes with exact re-rank —
+    * the 100-TB bytes story: the candidate-SCORING pass reads 1 byte
+    * per dimension plus one precomputed norm instead of the 4-byte
+    * float vector (cosine needs no scale — it cancels against the
+    * code norm), so the pass that touches every candidate moves ~4×
+    * fewer bytes (spec-asserted: its scan's ReadSchema carries
+    * `code8`/`cnorm8` and NOT the embedding column). The top
+    * `k·rerank` approximate candidates (asymmetric [[graft.exprs
+    * .Int8Dot]] — full-precision query against quantized codes, a
+    * tight codegen'd byte loop) are then re-ranked by EXACT cosine in
+    * a second pass that reads full vectors for ONLY those rows (an
+    * id-pushed filter over the same pruned cells; the collect is
+    * bounded by k·rerank, never corpus-sized). Requires
+    * `ivfBuild(quantize = true)`; output shape matches [[ivfQuery]].
+    */
+  def ivfQuerySQ(
+      spark: org.apache.spark.sql.SparkSession, index: IvfIndex,
+      queryVec: Seq[Double], k: Int, nprobe: Int,
+      rerank: Int = 4): DataFrame = {
+    require(index.quantized,
+      "ivfQuerySQ needs an index built with quantize = true")
+    val qnorm = math.sqrt(dotScala(queryVec, queryVec))
+    require(qnorm > 0, "zero query vector")
+    val probes = index.centroids.zipWithIndex
+      .map { case (c, i) => (dotScala(queryVec, c), i) }
+      .sortWith((a, b) => if (a._1 != b._1) a._1 > b._1 else a._2 < b._2)
+      .take(nprobe).map(_._2)
+    val pruned = readCells(spark, index)
+      .filter(col("cell").isin(probes.map(Int.box): _*))
+    val qlit = typedlit(queryVec)
+    val approx = sq8ApproxPass(pruned, index, qlit, qnorm)
+    val ids = approx
+      .orderBy(col("approx_sim").desc, col(index.idCol).asc)
+      .limit(k * rerank)
+      .select(col(index.idCol)).collect().map(_.getLong(0)).toSeq
+    val exact = pruned
+      .filter(col(index.idCol).isin(ids.map(Long.box): _*))
+      .select(col(index.idCol),
+        round(cosine(col(index.vecCol), qlit), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(index.idCol).asc).limit(k)
+    withRank(exact, index.idCol)
+  }
+
+  /** The quantized scoring projection of [[ivfQuerySQ]], factored so
+    * its plan is assertable: the ONLY data columns it references are
+    * `code8` and `cnorm8` — the scan's ReadSchema must not contain
+    * the embedding column (the 4×-fewer-bytes claim, spec-asserted).
+    */
+  private[graft] def sq8ApproxPass(
+      pruned: DataFrame, index: IvfIndex, qlit: Column,
+      qnorm: Double): DataFrame =
+    pruned.select(col(index.idCol),
+      when(col("cnorm8") > 0,
+        call_function("int8_dot", col("code8"), qlit) /
+          (lit(qnorm) * col("cnorm8")))
+        .otherwise(lit(0.0)).as("approx_sim"))
 
   /** Batch ANN over a materialized index: ONE plan answers MANY
     * queries — the serving shape when queries arrive in batches

@@ -355,6 +355,7 @@ object ExtractionPipeline {
     SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(name)
+      .withExtensions(new graft.exprs.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.files.maxPartitionBytes",
         sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "4m"))

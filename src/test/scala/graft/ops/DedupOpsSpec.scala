@@ -620,6 +620,76 @@ class DedupOpsSpec extends AnyFunSuite {
       .toSeq == Seq(1))
   }
 
+  test("ivfQuerySQ: scoring pass reads codes not vectors; pack roundtrips; re-rank ≡ full precision") {
+    val vrng = new scala.util.Random(37)
+    def randVec(): Array[Float] =
+      Array.fill(16)((vrng.nextDouble() * 2 - 1).toFloat)
+    val base = (0 until 200).map(i => (i.toLong, randVec()))
+    val v0 = base.head._2.clone(); v0(0) = v0(0) + 1e-4f
+    val all = base :+ (999L, v0) // planted near-identical twin of 0
+    val emb = all.toDF("vec_id", "embedding")
+    val root = java.nio.file.Files.createTempDirectory("ivf_sq8").toString
+    val index = SimilarityOps.ivfBuild(emb, "vec_id", "embedding",
+      s"$root/index", centroidEvery = 16, maxCentroids = 8,
+      quantize = true)
+    assert(index.quantized)
+    assert(SimilarityOps.ivfLoad(s"$root/index").quantized)
+    // 1) pack invariants on the materialized cells: codes reconstruct
+    // within scale/2 per dimension, cnorm is the code norm
+    val packed = spark.read.parquet(index.cellsPath)
+      .select(col("vec_id"), col("embedding"), col("code8"),
+        col("scale8"), col("cnorm8"))
+      .as[(Long, Array[Float], Array[Byte], Double, Double)].collect()
+    assert(packed.length == 201)
+    packed.foreach { case (id, v, code, scale, cnorm) =>
+      assert(code.length == v.length, s"$id")
+      val sq = code.map(c => c.toDouble * c.toDouble).sum
+      assert(math.abs(cnorm - math.sqrt(sq)) < 1e-9, s"$id")
+      v.zip(code).foreach { case (x, c) =>
+        assert(math.abs(c * scale - x) <= scale / 2 + 1e-12,
+          s"$id: $x vs code $c scale $scale") }
+    }
+    // 2) quantized serving surfaces the planted twin
+    val qvd = base.head._2.map(_.toDouble).toSeq
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("cos_sim"), col("rank"))
+        .as[(Long, Double, Int)].collect().sortBy(_._3).toSeq
+    val top = rows(SimilarityOps.ivfQuerySQ(spark, index, qvd,
+      k = 3, nprobe = 3, rerank = 4))
+    assert(top.head._1 == 0L && top.head._2 == 1.0, top.mkString(", "))
+    assert(top.exists(r => r._1 == 999L && r._2 >= 0.9999),
+      top.mkString(", "))
+    // 3) with rerank covering every probed candidate, the SQ path is
+    // BIT-IDENTICAL to the full-precision query at the same probes
+    // (the approximation only prunes; the re-rank score is exact)
+    assert(rows(SimilarityOps.ivfQuerySQ(spark, index, qvd, 3, 3,
+      rerank = 100)) ==
+      rows(SimilarityOps.ivfQuery(spark, index, qvd, 3, 3)))
+    // 4) the bytes claim: the scoring pass's scan reads code8 + cnorm8
+    // and NOT the embedding column (ReadSchema-asserted), and it still
+    // partition-prunes on cell
+    val approx = SimilarityOps.sq8ApproxPass(
+      SimilarityOps.readCells(spark, index)
+        .filter(col("cell").isin(0, 1)),
+      index, typedlit(qvd), 1.0)
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(out) { approx.explain("formatted") }
+    val plan = out.toString
+    val readSchema = plan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("code8") && readSchema.contains("cnorm8"),
+      readSchema)
+    assert(!readSchema.contains("embedding"), readSchema)
+    val pf = plan.linesIterator
+      .find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("cell"), pf)
+    // 5) interpreted ≡ codegen for the custom expressions
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(rows(SimilarityOps.ivfQuerySQ(spark, index, qvd,
+      3, 3, rerank = 4)) == top)
+    finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+  }
+
   test("lshTopK (default splitmix hyperplanes) surfaces a planted near-identical vector") {
     val vrng = new scala.util.Random(7)
     def randVec(): Array[Float] =
