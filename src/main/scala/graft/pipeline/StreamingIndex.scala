@@ -143,9 +143,13 @@ object StreamingIndex {
       deltas = tokens.map(t => SimilarityOps.ivfDeltaPathToken(indexDir, t)))
     val newGen = gen + 1
     // one read per root (a multi-root read trips partition-discovery's
-    // conflicting-directory check: delta dirs aren't partition dirs)
+    // conflicting-directory check: delta dirs aren't partition dirs);
+    // a quantized index folds its SQ8 columns through unchanged
+    val dataCols = Seq(col(index.idCol), col(index.vecCol)) ++
+      (if (index.quantized)
+        Seq(col("code8"), col("scale8"), col("cnorm8")) else Nil)
     SimilarityOps.readCells(spark, index)
-      .select(col(index.idCol), col(index.vecCol), col("cell"))
+      .select(dataCols :+ col("cell"): _*)
       .sortWithinPartitions(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(SimilarityOps.ivfCellsPath(indexDir, newGen))

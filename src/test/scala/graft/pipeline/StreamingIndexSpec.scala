@@ -217,4 +217,48 @@ class StreamingIndexSpec extends AnyFunSuite {
     assert(after.gen == 2 && after.deltas.isEmpty, after.toString)
     assert(totalRows(after) == 200L)
   }
+
+  test("quantized index: streamed deltas carry the SQ8 columns; ivfQuerySQ answers survive compaction unchanged") {
+    // assignCells derives code8/scale8/cnorm8 for EVERY writer, so a
+    // quantize=true index streams, appends, and compacts with the SQ8
+    // columns intact end to end — the quantized scoring pass keeps
+    // working over base ∪ deltas and over the folded generation.
+    val root = Files.createTempDirectory("graft_sidx4").toString
+    val streamDir = s"$root/vecs"
+    val indexDir = s"$root/index"
+    Files.createDirectories(Paths.get(streamDir))
+    val vrng = new scala.util.Random(47)
+    def randVec(): Array[Float] =
+      Array.fill(16)((vrng.nextDouble() * 2 - 1).toFloat)
+    val all = (0 until 160).map(i => (i.toLong, randVec()))
+    val twin = {
+      val v = all.head._2.clone(); v(0) = v(0) + 1e-4f; (999L, v)
+    }
+    SimilarityOps.ivfBuild(all.take(120).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", indexDir, centroidEvery = 16,
+      maxCentroids = 8, quantize = true)
+    (all.drop(120) :+ twin).toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("append").parquet(streamDir)
+    StreamingIndex.run(spark, streamDir, indexDir, s"$root/ckpt")
+      .awaitTermination()
+    val idx = SimilarityOps.ivfLoad(indexDir)
+    assert(idx.quantized && idx.deltas.size == 1, idx.toString)
+    // the streamed delta holds the SQ8 columns
+    val deltaCols = spark.read.parquet(idx.deltas.head).columns.toSet
+    assert(Set("code8", "scale8", "cnorm8").subsetOf(deltaCols), deltaCols)
+    val qvd = all.head._2.map(_.toDouble).toSeq
+    def sq(i: SimilarityOps.IvfIndex): Seq[(Long, Double, Int)] =
+      SimilarityOps.ivfQuerySQ(spark, i, qvd, k = 3, nprobe = 3,
+        rerank = 4)
+        .select(col("vec_id"), col("cos_sim"), col("rank"))
+        .as[(Long, Double, Int)].collect().sortBy(_._3).toSeq
+    val before = sq(idx)
+    assert(before.head._1 == 0L && before.exists(_._1 == 999L),
+      before.mkString(", ")) // the STREAMED twin surfaces through SQ8
+    StreamingIndex.compact(spark, indexDir)
+    val folded = SimilarityOps.ivfLoad(indexDir)
+    assert(folded.gen == 1 && folded.deltas.isEmpty && folded.quantized,
+      folded.toString)
+    assert(sq(folded) == before)
+  }
 }
