@@ -758,6 +758,22 @@ object Queries {
         .head().getSeq[Float](0).map(_.toDouble).toSeq
       SimilarityOps.ivfQuerySQ(s, index, qv, k = 10, nprobe = 4,
         rerank = 4)
+    }),
+
+    // Batch SQ8 serving (round 7): q41's two-pass quantized lattice
+    // for a whole query batch in ONE plan and with NO query-sized
+    // collect — pass 1 scores int8 codes per (query, candidate) and
+    // shortlists k·rerank per query under a query-partitioned window;
+    // pass 2 joins the shortlist back for the exact-cosine re-rank.
+    // The oracle extends q41's twin with the query dimension.
+    "q42_sq8_batch" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val index = cachedIvf(s"q42:$dir")(d => SimilarityOps.ivfBuild(
+        emb, "vec_id", "embedding", d, centroidEvery = 64,
+        maxCentroids = 64, quantize = true))
+      SimilarityOps.ivfQuerySQBatch(s, index,
+        emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+        k = 5, nprobe = 4, rerank = 4)
     })
   )
 
@@ -1632,6 +1648,89 @@ object Queries {
                   row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rank
            FROM ex)
          SELECT vec_id, cos_sim, CAST(rank AS INTEGER) AS rank
-         FROM ranked WHERE rank <= 10"""
+         FROM ranked WHERE rank <= 10""",
+
+    // Batch SQ8 twin: q41's quantization lattice with a query
+    // dimension — codes/cnorm are per-vector (query-independent),
+    // probes and qnorm per query, the approximate rank and the exact
+    // re-rank both PARTITIONED by query id, k·rerank = 20 shortlist.
+    "q42_sq8_batch" ->
+      """WITH cents AS (
+           SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cidx,
+                  embedding AS cvec
+           FROM (SELECT vec_id, embedding FROM embeddings
+                 WHERE vec_id % 64 = 0 ORDER BY vec_id LIMIT 64)),
+         dots AS (
+           SELECT e.vec_id, e.embedding, c.cidx,
+                  list_sum(list_transform(range(1, len(e.embedding) + 1),
+                    j -> CAST(e.embedding[j] AS DOUBLE) * CAST(c.cvec[j] AS DOUBLE))) AS d
+           FROM embeddings e CROSS JOIN cents c),
+         assign AS (
+           SELECT vec_id, embedding, cidx AS cell FROM (
+             SELECT vec_id, embedding, cidx,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cidx) AS rn
+             FROM dots) WHERE rn = 1),
+         qs AS (SELECT vec_id AS query_id, embedding AS qv
+                FROM embeddings WHERE vec_id % 100 = 0),
+         qn AS (SELECT query_id,
+                  sqrt(list_sum(list_transform(range(1, len(qv) + 1),
+                    j -> CAST(qv[j] AS DOUBLE) * CAST(qv[j] AS DOUBLE)))) AS qnorm
+                FROM qs),
+         probes AS (
+           SELECT query_id, cidx AS cell FROM (
+             SELECT q.query_id, d.cidx,
+                    row_number() OVER (PARTITION BY q.query_id ORDER BY d.d DESC, d.cidx) AS rn
+             FROM dots d JOIN qs q ON d.vec_id = q.query_id) WHERE rn <= 4),
+         sc AS (
+           SELECT vec_id, embedding, cell,
+                  list_max(list_transform(embedding,
+                    x -> abs(CAST(x AS DOUBLE)))) / 127 AS scale
+           FROM assign),
+         codes AS (
+           SELECT vec_id, embedding, cell,
+                  CASE WHEN scale > 0 THEN
+                    list_transform(embedding, x ->
+                      greatest(CAST(-127 AS DOUBLE), least(CAST(127 AS DOUBLE),
+                        round(CAST(x AS DOUBLE) / scale))))
+                  ELSE list_transform(embedding, x -> CAST(0 AS DOUBLE))
+                  END AS code
+           FROM sc),
+         cn AS (
+           SELECT vec_id, embedding, cell, code,
+                  sqrt(list_sum(list_transform(code, c -> c * c))) AS cnorm
+           FROM codes),
+         ap AS (
+           SELECT p.query_id, c.vec_id,
+                  CASE WHEN c.cnorm > 0 AND n.qnorm > 0 THEN
+                    list_sum(list_transform(range(1, len(c.code) + 1),
+                      j -> CAST(q.qv[j] AS DOUBLE) * c.code[j]))
+                    / (n.qnorm * c.cnorm)
+                  ELSE 0.0 END AS approx_sim
+           FROM cn c JOIN probes p ON c.cell = p.cell
+                JOIN qs q ON q.query_id = p.query_id
+                JOIN qn n ON n.query_id = p.query_id),
+         topr AS (
+           SELECT query_id, vec_id FROM (
+             SELECT query_id, vec_id,
+                    row_number() OVER (PARTITION BY query_id ORDER BY approx_sim DESC, vec_id) AS rn
+             FROM ap) WHERE rn <= 20),
+         ex AS (
+           SELECT t.query_id, t.vec_id,
+                  round(
+                    list_sum(list_transform(range(1, len(a.embedding) + 1),
+                      j -> CAST(a.embedding[j] AS DOUBLE) * CAST(q.qv[j] AS DOUBLE)))
+                    / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                         j -> CAST(a.embedding[j] AS DOUBLE) * CAST(a.embedding[j] AS DOUBLE))))
+                     * sqrt(list_sum(list_transform(range(1, len(q.qv) + 1),
+                         j -> CAST(q.qv[j] AS DOUBLE) * CAST(q.qv[j] AS DOUBLE)))))
+                  , 6) AS cos_sim
+           FROM topr t JOIN assign a ON a.vec_id = t.vec_id
+                JOIN qs q ON q.query_id = t.query_id),
+         ranked AS (
+           SELECT query_id, vec_id, cos_sim,
+                  row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
+           FROM ex)
+         SELECT query_id, vec_id, cos_sim, CAST(rank AS INTEGER) AS rank
+         FROM ranked WHERE rank <= 5"""
   )
 }

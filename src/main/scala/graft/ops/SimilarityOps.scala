@@ -798,6 +798,78 @@ object SimilarityOps {
     withRank(exact, index.idCol)
   }
 
+  /** Batch quantized serving: [[ivfQuerySQ]]'s two-pass shape for a
+    * whole query DataFrame in ONE plan, with NO query-sized collect —
+    * the only driver-side set is the probed-cell union (bounded by C,
+    * as in [[ivfQueryBatch]]). Pass 1 joins the pruned code columns to
+    * the per-query probe rows ON cell and ranks the asymmetric int8
+    * scores under a window PARTITIONED by query id; the top k·rerank
+    * per query form the shortlist — a Q·k·rerank-row frame that stays
+    * distributed. Pass 2 joins the shortlist back to the pruned cells
+    * on the id column (Spark broadcasts the small shortlist side) and
+    * to the query vectors on query id, re-ranking by exact cosine.
+    * Per query, the result is bit-identical to [[ivfQuerySQ]] (the
+    * plan-side query-norm fold performs the same IEEE sequence as the
+    * driver-side [[dotScala]]); spec-asserted.
+    */
+  def ivfQuerySQBatch(
+      spark: org.apache.spark.sql.SparkSession, index: IvfIndex,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, nprobe: Int, rerank: Int = 4): DataFrame = {
+    require(index.quantized,
+      "ivfQuerySQBatch needs an index built with quantize = true")
+    val mat = typedlit(index.centroids)
+    val nc = index.centroids.length
+    // probe cells + query norm, both projected BEFORE the explode (the
+    // interpreted-HOF pitfall — one fold each, not one per probe row)
+    val probed = queries
+      .select(col(qidCol).as("query_id"), col(qvecCol).as("_qvec"),
+        transform(mat, c =>
+          aggregate(zip_with(col(qvecCol), c, (x, cc) => x.cast("double") * cc),
+            lit(0.0), (acc, x) => acc + x)).as("_dots"),
+        sqrt(aggregate(zip_with(col(qvecCol), col(qvecCol),
+          (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, x) => acc + x)).as("_qnorm"))
+      .select(col("query_id"), col("_qvec"), col("_qnorm"),
+        explode(transform(
+          slice(array_sort(zip_with(
+            col("_dots"), sequence(lit(0), lit(nc - 1)),
+            (d, i) => struct((-d).as("nd"), i.as("cell")))), 1, nprobe),
+          p => p("cell").cast("int"))).as("cell"))
+    val cellSet = probed.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val pruned = readCells(spark, index)
+      .filter(col("cell").isin(cellSet.map(Int.box): _*))
+    val approx = pruned
+      .select(col(index.idCol), col("code8"), col("cnorm8"), col("cell"))
+      .join(probed, Seq("cell"))
+      .select(col("query_id"), col(index.idCol),
+        when(col("cnorm8") > 0 && col("_qnorm") > 0,
+          call_function("int8_dot", col("code8"), col("_qvec")) /
+            (col("_qnorm") * col("cnorm8")))
+          .otherwise(lit(0.0)).as("approx_sim"))
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("approx_sim").desc, col(index.idCol).asc)
+    val shortlist = approx
+      .withColumn("arank", row_number().over(w1))
+      .filter(col("arank") <= k * rerank)
+      .select(col("query_id"), col(index.idCol))
+    val exact = shortlist
+      .join(pruned.select(col(index.idCol), col(index.vecCol)),
+        Seq(index.idCol))
+      .join(queries.select(col(qidCol).as("query_id"),
+        col(qvecCol).as("_qvec2")), Seq("query_id"))
+      .select(col("query_id"), col(index.idCol),
+        round(cosine(col(index.vecCol), col("_qvec2")), 6).as("cos_sim"))
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col(index.idCol).asc)
+    exact
+      .withColumn("rank", row_number().over(w2).cast("int"))
+      .filter(col("rank") <= k)
+  }
+
   /** The quantized scoring projection of [[ivfQuerySQ]], factored so
     * its plan is assertable: the ONLY data columns it references are
     * `code8` and `cnorm8` — the scan's ReadSchema must not contain

@@ -690,6 +690,44 @@ class DedupOpsSpec extends AnyFunSuite {
     finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
   }
 
+  test("ivfQuerySQBatch: one plan answers many queries, per-query identical to ivfQuerySQ") {
+    // the batch quantized path must reproduce the single-query path
+    // bit for bit (plan-side query-norm fold ≡ driver-side dotScala),
+    // rank under query-partitioned windows, and hold no all-pairs join
+    val vrng = new scala.util.Random(41)
+    def randVec(): Array[Float] =
+      Array.fill(16)((vrng.nextDouble() * 2 - 1).toFloat)
+    val base = (0 until 200).map(i => (i.toLong, randVec()))
+    val emb = base.toDF("vec_id", "embedding")
+    val root = java.nio.file.Files.createTempDirectory("ivf_sq8b").toString
+    val index = SimilarityOps.ivfBuild(emb, "vec_id", "embedding",
+      s"$root/index", centroidEvery = 16, maxCentroids = 8,
+      quantize = true)
+    val qids = Seq(0L, 17L)
+    val batch = SimilarityOps.ivfQuerySQBatch(spark, index,
+      emb.filter(col("vec_id").isin(qids.map(Long.box): _*)),
+      "vec_id", "embedding", k = 4, nprobe = 2, rerank = 3)
+    val got = batch.select(col("query_id").cast("long"), col("vec_id"),
+      col("cos_sim"), col("rank")).as[(Long, Long, Double, Int)]
+      .collect().groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3, r._4))
+        .sortBy(_._3).toSeq).toMap
+    assert(got.keySet == qids.toSet, got.keySet.toString)
+    qids.foreach { q =>
+      val qv = base.find(_._1 == q).get._2.map(_.toDouble).toSeq
+      val single = SimilarityOps.ivfQuerySQ(spark, index, qv,
+        k = 4, nprobe = 2, rerank = 3)
+        .select(col("vec_id"), col("cos_sim"), col("rank"))
+        .as[(Long, Double, Int)].collect().sortBy(_._3).toSeq
+      assert(got(q) == single, s"query $q: ${got(q)} vs $single")
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(out) { batch.explain("formatted") }
+    val p = out.toString
+    assert(p.contains("windowspecdefinition(query_id"), p.take(3000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
   test("lshTopK (default splitmix hyperplanes) surfaces a planted near-identical vector") {
     val vrng = new scala.util.Random(7)
     def randVec(): Array[Float] =
