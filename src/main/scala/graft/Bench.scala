@@ -280,9 +280,17 @@ object Bench {
         }
         val lshRecall = recallOf(topSets(graft.ops.SimilarityOps.lshTopKBatch(
           emb, "vec_id", "embedding", qdf, "query_id", "_qvec", 10)))
+        // quantization cost at the default operating point: SQ8
+        // shortlist (k·rerank = 40) + exact re-rank vs the same
+        // full-precision nprobe — the recall delta IS the price of
+        // reading 4× fewer candidate bytes
+        val sq8Recall = recallOf(topSets(
+          graft.ops.SimilarityOps.ivfQuerySQBatch(
+            spark, sqIndex, qdf, "query_id", "_qvec", 10, 4)))
         val recallJson = s""","recall":{"k":10,"queries":${truth.size},""" +
           ivfRecall.map { case (np, r) =>
             f""""ivf_nprobe$np":$r%.4f""" }.mkString(",") +
+          f""","sq8_nprobe4":$sq8Recall%.4f""" +
           f""","lsh_bits12":$lshRecall%.4f}"""
         graft.ops.SimilarityOps.deleteRecursively(ivfDir)
         graft.ops.SimilarityOps.deleteRecursively(sqDir)
