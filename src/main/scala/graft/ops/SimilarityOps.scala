@@ -665,18 +665,38 @@ object SimilarityOps {
       case i  => i + 1
     }
 
+  /** Content tag of the index as a reader sees it right now: centroid
+    * matrix + base generation + live committed delta tokens. Any
+    * append (new token), compaction (generation bump), or rebuild
+    * (new centroids) changes the tag — the staleness fence for the
+    * persisted recall curve. Conservative on compaction: folding
+    * preserves answers, so a re-measure there is wasted-but-safe (the
+    * alternative — proving content equality across the fold — buys
+    * one corpus pass per compaction and a subtle invariant; not worth
+    * it).
+    */
+  private def ivfStateTag(indexDir: String): String = {
+    val cents = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(indexDir, "centroids.json"))
+    val (gen, folded, _) = ivfReadGenerationFull(indexDir)
+    val tokens = ivfManifestTokens(indexDir).filterNot(folded)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(s"$gen|${tokens.mkString(",")}|$cents".getBytes("UTF-8"))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
   /** Persist a measured curve beside the centroids (recall.json, tmp +
     * atomic rename — the manifest convention) so a query-only session
-    * tunes nprobe without re-measuring. The curve describes the base
-    * generation + deltas it was measured over; re-measure after
-    * compaction-scale ingest or a rebuild (ivfBuild starts a fresh
-    * index dir layout but leaves a stale recall.json untouched only if
-    * the caller reuses the dir — the k/queries stamp is the tell).
+    * tunes nprobe without re-measuring. The record carries the index's
+    * content tag ([[ivfStateTag]]); readers treat a tag mismatch as
+    * no-curve, so a curve measured before an append, compaction, or
+    * rebuild can never silently tune the grown index.
     */
   def ivfWriteRecall(
       indexDir: String, k: Int, numQueries: Long, hits: Seq[Long]): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val json = s"""{"k":$k,"queries":$numQueries,"hits":[""" +
+    val json = s"""{"k":$k,"queries":$numQueries,""" +
+      s""""state":"${ivfStateTag(indexDir)}","hits":[""" +
       hits.mkString(",") + "]}"
     val tmp = Paths.get(indexDir, ".recall.json.tmp")
     Files.writeString(tmp, json)
@@ -684,20 +704,28 @@ object SimilarityOps {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Read a persisted curve: (k, queries, cumulative hits). */
+  /** Read a persisted curve: (k, queries, cumulative hits). None when
+    * absent OR when the index content changed since the measurement
+    * (state-tag mismatch — see [[ivfStateTag]]).
+    */
   def ivfReadRecall(indexDir: String): Option[(Int, Long, Seq[Long])] = {
     val p = java.nio.file.Paths.get(indexDir, "recall.json")
     if (!java.nio.file.Files.exists(p)) None
     else {
       val json = java.nio.file.Files.readString(p)
-      def num(name: String): Long =
-        ("\"" + name + "\":(\\d+)").r.findFirstMatchIn(json)
-          .map(_.group(1).toLong)
-          .getOrElse(sys.error(s"bad recall.json: no $name"))
-      val hits = "\\[([^\\]]*)\\]".r.findFirstMatchIn(json)
-        .map(_.group(1)).filter(_.nonEmpty)
-        .map(_.split(",").map(_.trim.toLong).toSeq).getOrElse(Nil)
-      Some((num("k").toInt, num("queries"), hits))
+      val state = "\"state\":\"([0-9a-f]+)\"".r.findFirstMatchIn(json)
+        .map(_.group(1))
+      if (!state.contains(ivfStateTag(indexDir))) None
+      else {
+        def num(name: String): Long =
+          ("\"" + name + "\":(\\d+)").r.findFirstMatchIn(json)
+            .map(_.group(1).toLong)
+            .getOrElse(sys.error(s"bad recall.json: no $name"))
+        val hits = "\\[([^\\]]*)\\]".r.findFirstMatchIn(json)
+          .map(_.group(1)).filter(_.nonEmpty)
+          .map(_.split(",").map(_.trim.toLong).toSeq).getOrElse(Nil)
+        Some((num("k").toInt, num("queries"), hits))
+      }
     }
   }
 

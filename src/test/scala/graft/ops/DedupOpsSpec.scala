@@ -618,6 +618,25 @@ class DedupOpsSpec extends AnyFunSuite {
       sample, queries, "vec_id", "embedding", k, target)
     assert(tuned2.select(col("nprobe")).distinct().as[Int].collect()
       .toSeq == Seq(1))
+    // staleness fence: an append changes the index's content tag, so
+    // the persisted (here: fake) curve no longer reads back and the
+    // next tuned call RE-MEASURES over the grown index instead of
+    // silently tuning on stale numbers
+    SimilarityOps.ivfAppend(SimilarityOps.ivfLoad(s"$root/index"),
+      Seq((1000L, randVec())).toDF("vec_id", "embedding"))
+    assert(SimilarityOps.ivfReadRecall(s"$root/index").isEmpty)
+    val grown = SimilarityOps.ivfLoad(s"$root/index")
+    val tuned3 = SimilarityOps.ivfQueryBatchAtRecall(spark, grown,
+      sample, queries, "vec_id", "embedding", k, target)
+    // the re-measured choice matches the analytic curve over the
+    // GROWN index, and the fresh measurement is what got persisted
+    val (hits3, nq3) = SimilarityOps.ivfRecallHits(
+      spark, grown, sample, "vec_id", "embedding", k)
+    val np3 = SimilarityOps.ivfNprobeForRecall(hits3, nq3, k, target)
+    assert(tuned3.select(col("nprobe")).distinct().as[Int].collect()
+      .toSeq == Seq(np3))
+    assert(SimilarityOps.ivfReadRecall(s"$root/index")
+      .contains((k, nq3, hits3)))
   }
 
   test("ivfQuerySQ: scoring pass reads codes not vectors; pack roundtrips; re-rank ≡ full precision") {
