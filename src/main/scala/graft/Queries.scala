@@ -117,10 +117,16 @@ object Queries {
         lit("Subtotal: $"), format_string("%d.%02d", (k % 9000) + 100, k % 100),
         lit("\nTax: $"), format_string("%d.%02d", (k % 900) + 10, (k * 7) % 100),
         lit("\nTotal: $"), format_string("%d.%02d", (k % 9900) + 110, (k * 3) % 100))
-      t(s, dir, "orders").select(col("o_orderkey"),
-        (IE.grandTotal(text) * 100).cast("long").as("grand_cents"),
-        (IE.taxes(text) * 100).cast("long").as("tax_cents"),
-        (IE.finalTotal(text) * 100).cast("long").as("final_cents"))
+      // text projected ONCE (round 8): three regex extractors reference
+      // the 6-format_string concat tree — a staged projection keeps it
+      // one evaluation per row (CollapseProject preserves the boundary
+      // for a non-cheap multiply-referenced expression). Values
+      // unchanged — same extractors over the same text.
+      t(s, dir, "orders").select(col("o_orderkey"), text.as("_text"))
+        .select(col("o_orderkey"),
+          (IE.grandTotal(col("_text")) * 100).cast("long").as("grand_cents"),
+          (IE.taxes(col("_text")) * 100).cast("long").as("tax_cents"),
+          (IE.finalTotal(col("_text")) * 100).cast("long").as("final_cents"))
     }),
 
     // F3 — decimal parsing with junk stripping (cents, see q02 note)
@@ -379,16 +385,33 @@ object Queries {
     "q28_categorized_warnings" -> ((s, dir) => {
       val k = col("o_orderkey")
       val f = synthInvoice(k)
+      // Three-stage projection (round 8, guide §1.2 per-task work): the
+      // map expression contains lambda HOFs, which are EXCLUDED from
+      // codegen common-subexpression elimination — the previous
+      // single-select form inlined the whole map tree at every one of
+      // its ~20 references (2 per category), re-evaluating the entire
+      // warnings engine ~20× per row (measured 14.7 s warm for 150k
+      // rows). Stage 1 projects the synthesized fields once, stage 2
+      // the map once, stage 3 renders from the plain `_m` attribute;
+      // CollapseProject keeps both boundaries (non-cheap expressions
+      // referenced more than once). Values are unchanged — identical
+      // expressions over identical inputs.
+      val fields = t(s, dir, "orders").select(k,
+        f.filename.as("_fn"), f.num.as("_num"), f.vendorName.as("_vn"),
+        f.street.as("_str"), f.state.as("_sta"), f.country.as("_cou"),
+        f.date.as("_dt"), f.grand.as("_gr"), f.taxes.as("_tx"),
+        f.fin.as("_fi"), f.pages.as("_pg"))
       val m = VE.categorizedWarnings(
-        f.filename, f.num, f.vendorName,
-        f.street, lit("Springfield"), f.state, lit("62704"), f.country,
-        f.date, lit(AsOf).cast("date"), f.grand, f.taxes, f.fin, f.pages,
-        emptyItems)
+        col("_fn"), col("_num"), col("_vn"),
+        col("_str"), lit("Springfield"), col("_sta"), lit("62704"),
+        col("_cou"), col("_dt"), lit(AsOf).cast("date"), col("_gr"),
+        col("_tx"), col("_fi"), col("_pg"), emptyItems)
       val rendered = concat_ws("|", VE.CategoryOrder.map { c =>
-        val v = element_at(m, lit(c))
+        val v = element_at(col("_m"), lit(c))
         when(size(v) > 0, concat(lit(c), lit("="), array_join(v, ";")))
       }: _*)
-      t(s, dir, "orders").select(k, rendered.as("warnings_by_category"))
+      fields.select(col("o_orderkey"), m.as("_m"))
+        .select(col("o_orderkey"), rendered.as("warnings_by_category"))
     }),
 
     // dedup: embedding-cosine near-dup pairs on a corpus with planted
@@ -424,15 +447,26 @@ object Queries {
           lit("2.50").cast("decimal(18,2)").as("unit_price"),
           decOf(itemCents).as("total"))))
         .otherwise(emptyItems)
+      // Staged projection (round 8) — same rationale as q28: `flat`
+      // was referenced twice in the output select, and the map tree
+      // (lambda HOFs, no codegen CSE) re-evaluated per reference.
+      // Fields once, map once, flat once, then two cheap size() calls
+      // over the `_flat` attribute. Values unchanged.
+      val fields = t(s, dir, "orders").select(k,
+        f.filename.as("_fn"), f.num.as("_num"), f.vendorName.as("_vn"),
+        f.street.as("_str"), f.state.as("_sta"), f.country.as("_cou"),
+        f.date.as("_dt"), f.grand.as("_gr"), f.taxes.as("_tx"),
+        f.fin.as("_fi"), f.pages.as("_pg"), items.as("_items"))
       val m = VE.categorizedWarnings(
-        f.filename, f.num, f.vendorName,
-        f.street, lit("Springfield"), f.state, lit("62704"), f.country,
-        f.date, lit(AsOf).cast("date"), f.grand, f.taxes, f.fin, f.pages,
-        items)
-      val flat = flatten(map_values(m))
-      t(s, dir, "orders").select(k,
-        (size(flat) === 0).cast("int").as("is_valid"),
-        size(flat).cast("int").as("n_warnings"))
+        col("_fn"), col("_num"), col("_vn"),
+        col("_str"), lit("Springfield"), col("_sta"), lit("62704"),
+        col("_cou"), col("_dt"), lit(AsOf).cast("date"), col("_gr"),
+        col("_tx"), col("_fi"), col("_pg"), col("_items"))
+      fields.select(col("o_orderkey"), m.as("_m"))
+        .select(col("o_orderkey"), flatten(map_values(col("_m"))).as("_flat"))
+        .select(col("o_orderkey"),
+          (size(col("_flat")) === 0).cast("int").as("is_valid"),
+          size(col("_flat")).cast("int").as("n_warnings"))
     }),
 
     // near-dup clustering: pairs → groups via connected components

@@ -50,10 +50,13 @@ object DedupOps {
     * identical values, so minhash pipelines built on it are
     * oracle-checkable end-to-end. 15 hex chars = 60 bits — always
     * non-negative, never overflows LONG. DuckDB twin:
-    * `CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)`.
+    * `CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)`. Since round 8
+    * the engine side is the native [[graft.exprs.Md5Hash64]] (same
+    * digest, value computed from the bytes instead of a hex-string
+    * render + base conversion + re-parse per call — this ran once per
+    * SHINGLE in q24/q33/q39 and once per TOKEN in q25).
     */
-  def md5Hash64(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  def md5Hash64(c: Column): Column = call_function("md5_hash64", c)
 
   /** Driver-side twin of [[md5Hash64]] (identical value for the same
     * input string) — used to precompute per-seed mixing constants once
@@ -66,21 +69,9 @@ object DedupOps {
       d.map("%02x".format(_)).mkString.take(15), 16)
   }
 
-  /** Per-seed mixer over an already-computed 60-bit shingle hash:
-    * right-rotate within the 60-bit space by `seed` bits, then XOR a
-    * per-seed md5-derived constant. A bijection on [0, 2^60) per seed —
-    * a valid (cheap) MinHash family — expressible identically in DuckDB
-    * (`>> << & | xor`), so the whole lattice stays oracle-checkable
-    * WITHOUT hashing each shingle once per seed (round-2 q24 burned 32
-    * md5-of-string evals per shingle here; now it is 1 md5 + arithmetic).
-    */
-  private def rotXorMix(h: Column, seed: Column, seedConst: Column): Column = {
-    val rot = call_function("shiftright", h, seed)
-      .bitwiseOR(call_function("shiftleft",
-        h.bitwiseAND(call_function("shiftleft", lit(1L), seed) - 1),
-        lit(60) - seed))
-    rot.bitwiseXOR(seedConst)
-  }
+  // (the per-seed rotate+xor mixer formerly spelled here as Column
+  // arithmetic now lives natively in graft.exprs.MinhashMix — same
+  // bijection on [0, 2^60), same DuckDB-reproducible formula)
 
   /** MinHash signature as an array<long> of k per-seed minima over
     * 3-token shingles — computed per-row with HOFs (zero shuffle).
@@ -103,14 +94,17 @@ object DedupOps {
     require(k <= 60, s"minhash k=$k exceeds the 60-bit mixing space")
     val hashes = transform(tokenShingles(text), t =>
       if (neutral) md5Hash64(t) else xxhash64(t))
-    val seedConsts = typedlit((0 until k).map(s => md5Hash64Scala(s"seed:$s")))
-    aggregate(
-      hashes,
-      array_repeat(lit(Long.MaxValue), k),
-      (acc, h) => zip_with(acc, sequence(lit(0), lit(k - 1)), (a, seed) =>
-        least(a,
-          if (neutral) rotXorMix(h, seed, element_at(seedConsts, seed + 1))
-          else xxhash64(h, seed))))
+    // the k-minima fold as the native [[graft.exprs.MinhashMix]]
+    // expression (round 8): the HOF fold paid k interpreted lambda
+    // evaluations (each several expression nodes) per SHINGLE; the
+    // native loop replicates the same mixers — rot+xor constants in
+    // neutral mode, the exact XXH64 chain otherwise — and the same
+    // least/NULL/empty semantics, so signatures are bit-identical
+    // (DedupOpsSpec + the q24/q33/q39 oracles).
+    val seedConsts =
+      if (neutral) typedlit((0 until k).map(s => md5Hash64Scala(s"seed:$s")))
+      else lit(null).cast("array<long>")
+    call_function("minhash_mix", hashes, lit(k), seedConsts)
   }
 
   /** All ordered pairs (id_a < id_b) within one SORTED id array, as
@@ -458,21 +452,15 @@ object DedupOps {
     * DuckDB-reproducible; xxhash64 stays the engine default.
     */
   def simhash64(text: Column, neutral: Boolean = false): Column = {
-    // hash per token ONCE (transform), then fold: a hash subtree
-    // referenced inside the per-bit zip_with lambda would re-evaluate
-    // 64x per token (interpreted HOFs)
+    // hash per token ONCE (transform), then the vote/pack fold as the
+    // native [[graft.exprs.SimhashPack]] expression (round 8): the HOF
+    // form paid 64 interpreted lambda evaluations per TOKEN (measured
+    // 4.4 s warm on q25's 5k docs); the native loop replicates its
+    // semantics exactly — arithmetic shift votes, NULL hash ≡ 0L,
+    // sign-packing — so signatures are bit-identical.
     val hashes = transform(split(text, " "), t =>
       if (neutral) md5Hash64(t) else xxhash64(t))
-    val votes = aggregate(
-      hashes,
-      array_repeat(lit(0), 64),
-      (acc, h) =>
-        zip_with(acc, sequence(lit(0), lit(63)), (a, i) =>
-          a + when(call_function("shiftright", h, i).bitwiseAND(1) === 1, 1).otherwise(-1)))
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)), (v, i) =>
-        when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
+    call_function("simhash_pack", hashes)
   }
 
   /** Hamming distance between two simhash values (near-dup if small). */

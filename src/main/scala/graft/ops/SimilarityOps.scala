@@ -13,10 +13,17 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps {
 
-  /** Dot product via zip_with + aggregate (codegen HOFs, no UDF). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Dot product as the native codegen'd [[graft.exprs.VecDot]]
+    * expression (round 8). Bit-identical to the previous
+    * `aggregate(zip_with(a, b, x·y), 0.0, +)` HOF fold — same
+    * left-to-right IEEE sequence, same NULL semantics (length
+    * mismatch / NULL element / NULL input → NULL, empty → 0.0) — but
+    * it runs as a tight primitive loop inside whole-stage codegen and
+    * participates in common-subexpression elimination, which the
+    * interpreted HOF fold (lambda subtrees) never did: a cosine's
+    * twice-referenced denominator used to cost two full folds.
+    */
+  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -101,9 +108,9 @@ object SimilarityOps {
     val mat = typedlit(hyperplaneMatrix(bits, dims, neutral))
     aggregate(
       zip_with(sequence(lit(0), lit(bits - 1)), mat, (i, row) => {
-        val d = aggregate(
-          zip_with(vec, row, (x, c) => x.cast("double") * c),
-          lit(0.0), (acc, x) => acc + x)
+        // vec_dot (round 8): one native call per bit instead of a
+        // dims-element interpreted lambda fold — same IEEE sequence
+        val d = call_function("vec_dot", vec, row)
         when(d > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))
       }),
       lit(0L), (acc, x) => acc.bitwiseOR(x))
@@ -286,8 +293,7 @@ object SimilarityOps {
     val mat = typedlit(cents)
     df.select(col(idCol), col(vecCol),
       transform(mat, c =>
-        aggregate(zip_with(col(vecCol), c, (x, cc) => x.cast("double") * cc),
-          lit(0.0), (acc, x) => acc + x)).as("dots"))
+        call_function("vec_dot", col(vecCol), c)).as("dots"))
       .select(col(idCol), col(vecCol),
         (array_position(col("dots"), array_max(col("dots"))) - 1)
           .cast("int").as("cell"))
@@ -622,8 +628,7 @@ object SimilarityOps {
     val cellRanks = qv
       .select(col("query_id"),
         transform(mat, c =>
-          aggregate(zip_with(col("_qvec"), c, (x, cc) => x.cast("double") * cc),
-            lit(0.0), (acc, x) => acc + x)).as("_dots"))
+          call_function("vec_dot", col("_qvec"), c)).as("_dots"))
       .select(col("query_id"),
         posexplode(transform(
           array_sort(zip_with(
@@ -853,11 +858,9 @@ object SimilarityOps {
     val probed = queries
       .select(col(qidCol).as("query_id"), col(qvecCol).as("_qvec"),
         transform(mat, c =>
-          aggregate(zip_with(col(qvecCol), c, (x, cc) => x.cast("double") * cc),
-            lit(0.0), (acc, x) => acc + x)).as("_dots"),
-        sqrt(aggregate(zip_with(col(qvecCol), col(qvecCol),
-          (x, y) => x.cast("double") * y.cast("double")),
-          lit(0.0), (acc, x) => acc + x)).as("_qnorm"))
+          call_function("vec_dot", col(qvecCol), c)).as("_dots"),
+        sqrt(call_function("vec_dot", col(qvecCol), col(qvecCol)))
+          .as("_qnorm"))
       .select(col("query_id"), col("_qvec"), col("_qnorm"),
         explode(transform(
           slice(array_sort(zip_with(
@@ -949,8 +952,7 @@ object SimilarityOps {
         // subtree referenced inside a later lambda re-evaluates per
         // element)
         transform(mat, c =>
-          aggregate(zip_with(col(qvecCol), c, (x, cc) => x.cast("double") * cc),
-            lit(0.0), (acc, x) => acc + x)).as("_dots"))
+          call_function("vec_dot", col(qvecCol), c)).as("_dots"))
       .select(col("query_id"), col("_qvec"),
         explode(transform(
           slice(array_sort(zip_with(
