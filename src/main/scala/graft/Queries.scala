@@ -401,17 +401,37 @@ object Queries {
         f.street.as("_str"), f.state.as("_sta"), f.country.as("_cou"),
         f.date.as("_dt"), f.grand.as("_gr"), f.taxes.as("_tx"),
         f.fin.as("_fi"), f.pages.as("_pg"))
-      val m = VE.categorizedWarnings(
-        col("_fn"), col("_num"), col("_vn"),
-        col("_str"), lit("Springfield"), col("_sta"), lit("62704"),
-        col("_cou"), col("_dt"), lit(AsOf).cast("date"), col("_gr"),
-        col("_tx"), col("_fi"), col("_pg"), emptyItems)
-      val rendered = concat_ws("|", VE.CategoryOrder.map { c =>
-        val v = element_at(col("_m"), lit(c))
-        when(size(v) > 0, concat(lit(c), lit("="), array_join(v, ";")))
-      }: _*)
-      fields.select(col("o_orderkey"), m.as("_m"))
-        .select(col("o_orderkey"), rendered.as("warnings_by_category"))
+      // Rendering WITHOUT the intermediate map (round 8): per category,
+      // `concat_ws(";", warnings...)` ≡ `array_join(array_compact(
+      // array(warnings...)), ";")` (both skip NULLs; every message is a
+      // non-empty literal, so `joined != ""` ⇔ `size(compacted) > 0`).
+      // The map/array construction ran as interpreted lambda HOFs; this
+      // form is pure codegen string ops over the staged field
+      // attributes, with codegen CSE deduplicating the shared warning
+      // subtrees. The items category (emptyItems literal) keeps the
+      // array form — it constant-folds. Values unchanged (same V1-V8
+      // predicates, same category order, same separators); q28's
+      // DuckDB twin is the cross-engine proof.
+      val cats: Seq[(String, Seq[Column])] = Seq(
+        "filename" -> Seq(VE.filenameWarning(col("_fn"))),
+        "invoice_number" -> Seq(VE.invoiceNumberWarning(col("_num"))),
+        "vendor" -> (VE.vendorNameWarning(col("_vn")) +:
+          VE.addressWarnings(col("_str"), lit("Springfield"), col("_sta"),
+            lit("62704"), col("_cou"))),
+        "invoice_date" -> Seq(VE.dateWarning(col("_dt"), lit(AsOf).cast("date"))),
+        "grand_total" -> Seq(VE.amountWarning(col("_gr"), "Grand total")),
+        "taxes" -> Seq(VE.amountWarning(col("_tx"), "Taxes")),
+        "final_total" -> Seq(VE.amountWarning(col("_fi"), "Final total")),
+        "totals" -> Seq(VE.totalsWarning(col("_gr"), col("_tx"), col("_fi"))),
+        "pages" -> Seq(VE.pagesWarning(col("_pg"))))
+      val itemsArr = VE.itemWarningsArray(emptyItems)
+      val pieces = cats.map { case (c, ws) =>
+        val joined = concat_ws(";", ws: _*)
+        when(joined =!= "", concat(lit(c), lit("="), joined))
+      } :+ when(size(itemsArr) > 0,
+        concat(lit("items"), lit("="), array_join(itemsArr, ";")))
+      fields.select(col("o_orderkey"),
+        concat_ws("|", pieces: _*).as("warnings_by_category"))
     }),
 
     // dedup: embedding-cosine near-dup pairs on a corpus with planted
@@ -447,26 +467,37 @@ object Queries {
           lit("2.50").cast("decimal(18,2)").as("unit_price"),
           decOf(itemCents).as("total"))))
         .otherwise(emptyItems)
-      // Staged projection (round 8) — same rationale as q28: `flat`
-      // was referenced twice in the output select, and the map tree
-      // (lambda HOFs, no codegen CSE) re-evaluated per reference.
-      // Fields once, map once, flat once, then two cheap size() calls
-      // over the `_flat` attribute. Values unchanged.
+      // Counting WITHOUT the intermediate map (round 8, the q28
+      // rationale): `size(flatten(map_values(m)))` is the total
+      // non-NULL warning count across the categories, which equals the
+      // sum of per-warning NULL indicators plus the item-warning array
+      // size — pure codegen over the staged field attributes except the
+      // one itemWarningsArray call (evaluated once). Values unchanged;
+      // q29's DuckDB twin is the cross-engine proof.
       val fields = t(s, dir, "orders").select(k,
         f.filename.as("_fn"), f.num.as("_num"), f.vendorName.as("_vn"),
         f.street.as("_str"), f.state.as("_sta"), f.country.as("_cou"),
         f.date.as("_dt"), f.grand.as("_gr"), f.taxes.as("_tx"),
         f.fin.as("_fi"), f.pages.as("_pg"), items.as("_items"))
-      val m = VE.categorizedWarnings(
-        col("_fn"), col("_num"), col("_vn"),
-        col("_str"), lit("Springfield"), col("_sta"), lit("62704"),
-        col("_cou"), col("_dt"), lit(AsOf).cast("date"), col("_gr"),
-        col("_tx"), col("_fi"), col("_pg"), col("_items"))
-      fields.select(col("o_orderkey"), m.as("_m"))
-        .select(col("o_orderkey"), flatten(map_values(col("_m"))).as("_flat"))
+      val flatWarnings: Seq[Column] =
+        Seq(VE.filenameWarning(col("_fn")),
+          VE.invoiceNumberWarning(col("_num")),
+          VE.vendorNameWarning(col("_vn"))) ++
+          VE.addressWarnings(col("_str"), lit("Springfield"), col("_sta"),
+            lit("62704"), col("_cou")) ++
+          Seq(VE.dateWarning(col("_dt"), lit(AsOf).cast("date")),
+            VE.amountWarning(col("_gr"), "Grand total"),
+            VE.amountWarning(col("_tx"), "Taxes"),
+            VE.amountWarning(col("_fi"), "Final total"),
+            VE.totalsWarning(col("_gr"), col("_tx"), col("_fi")),
+            VE.pagesWarning(col("_pg")))
+      val n = flatWarnings
+        .map(w => when(w.isNotNull, 1).otherwise(0))
+        .reduce(_ + _) + size(VE.itemWarningsArray(col("_items")))
+      fields.select(col("o_orderkey"), n.cast("int").as("_n"))
         .select(col("o_orderkey"),
-          (size(col("_flat")) === 0).cast("int").as("is_valid"),
-          size(col("_flat")).cast("int").as("n_warnings"))
+          (col("_n") === 0).cast("int").as("is_valid"),
+          col("_n").as("n_warnings"))
     }),
 
     // near-dup clustering: pairs → groups via connected components

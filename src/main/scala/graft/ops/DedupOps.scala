@@ -381,8 +381,19 @@ object DedupOps {
     val und = save(edges
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct(), "edges")
-    var labels = save(und.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id")), "labels-0")
+    // Initial labels carry the FIRST propagation step (round 8): label
+    // = min(self, neighbours) from the same groupBy that previously
+    // just enumerated vertices — every vertex appears as src (und
+    // holds both directions), so the vertex set is identical, and
+    // min-label propagation converges to the component minimum from
+    // ANY intermediate state of its own sequence, so the fixpoint (and
+    // the zero-changed convergence test) is unchanged. Saves one full
+    // two-join round per invocation (q30/q33/q36/q39 and every
+    // dropNearDups call).
+    var labels = save(und.groupBy(col("src"))
+      .agg(min(col("dst")).as("_mn"))
+      .select(col("src").as("id"),
+        least(col("src"), col("_mn")).as("cluster")), "labels-0")
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
