@@ -364,10 +364,29 @@ object SimilarityOps {
       else sampled
     val idx0 = IvfIndex(indexDir, idCol, vecCol, cents,
       quantized = quantize)
+    // maxFoldedEpoch read BEFORE any mutation and carried through the
+    // reset (advisor, round 7): silently dropping it to -1 would lose
+    // the replay backstop if the same streaming checkpoint lineage
+    // continues against the rebuilt index
+    val (_, _, maxFolded) = ivfReadGenerationFull(indexDir)
     assignCells(embeddings, idx0)
       .sortWithinPartitions(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$indexDir/cells")
+    // a rebuild RESETS the index: deltas assigned under the previous
+    // centroid matrix are stale — retire their manifests and swap the
+    // pointer back to generation 0 BEFORE overwriting centroids.json
+    // (advisor, round 7: the old order let a reader on a gen>0 index
+    // pair the NEW matrix with the OLD generation's cells). NOTE:
+    // rebuild-IN-PLACE is inherently not reader-safe — generation 0's
+    // cell directory is overwritten above, and the pointer and
+    // centroids.json are two files with no joint commit point — so a
+    // rebuild requires no concurrent readers (build into a fresh
+    // indexDir for zero-downtime swaps); this ordering only shrinks
+    // the inconsistent window, it cannot close it.
+    ivfManifestTokens(indexDir).foreach(t =>
+      java.nio.file.Files.deleteIfExists(ivfDeltaManifestToken(indexDir, t)))
+    ivfWriteGeneration(indexDir, 0, Set.empty, maxFolded)
     // java.lang.Double.toString is the shortest exact round-trip
     // rendering; parsing it back yields the identical bits
     val json = "{\"idCol\":\"" + idCol + "\",\"vecCol\":\"" + vecCol +
@@ -376,13 +395,6 @@ object SimilarityOps {
         .mkString("[", ",", "]")).mkString(",") + "]}"
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(indexDir, "centroids.json"), json)
-    // a rebuild RESETS the index: deltas assigned under the previous
-    // centroid matrix are stale — retire their manifests first (a
-    // reader racing the rebuild transiently misses deltas, never sees
-    // stale ones), then swap the pointer back to generation 0
-    ivfManifestTokens(indexDir).foreach(t =>
-      java.nio.file.Files.deleteIfExists(ivfDeltaManifestToken(indexDir, t)))
-    ivfWriteGeneration(indexDir, 0, Set.empty)
     idx0
   }
 
@@ -698,22 +710,43 @@ object SimilarityOps {
     * rebuild can never silently tune the grown index.
     */
   def ivfWriteRecall(
-      indexDir: String, k: Int, numQueries: Long, hits: Seq[Long]): Unit = {
+      indexDir: String, k: Int, numQueries: Long, hits: Seq[Long],
+      sampleTag: String = ""): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val json = s"""{"k":$k,"queries":$numQueries,""" +
-      s""""state":"${ivfStateTag(indexDir)}","hits":[""" +
-      hits.mkString(",") + "]}"
+      s""""state":"${ivfStateTag(indexDir)}","sample":"$sampleTag",""" +
+      s""""hits":[""" + hits.mkString(",") + "]}"
     val tmp = Paths.get(indexDir, ".recall.json.tmp")
     Files.writeString(tmp, json)
     Files.move(tmp, Paths.get(indexDir, "recall.json"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Identity tag of a query sample: md5 over the SORTED distinct id
+    * set. Persisted beside the curve so a different sample of the same
+    * SIZE cannot silently reuse it (advisor, round 7 — the (k, count)
+    * check fenced index content but not sample identity). The collect
+    * is bounded by the sample size — the caller's own tuning sample,
+    * small by design (it already paid a count() here before).
+    */
+  def ivfSampleTag(ids: Seq[String]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(ids.sorted.mkString(",").getBytes("UTF-8"))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
   /** Read a persisted curve: (k, queries, cumulative hits). None when
     * absent OR when the index content changed since the measurement
     * (state-tag mismatch — see [[ivfStateTag]]).
     */
-  def ivfReadRecall(indexDir: String): Option[(Int, Long, Seq[Long])] = {
+  def ivfReadRecall(indexDir: String): Option[(Int, Long, Seq[Long])] =
+    ivfReadRecallFull(indexDir).map { case (k, q, h, _) => (k, q, h) }
+
+  /** [[ivfReadRecall]] plus the persisted sample tag (empty when the
+    * record predates the tag).
+    */
+  def ivfReadRecallFull(
+      indexDir: String): Option[(Int, Long, Seq[Long], String)] = {
     val p = java.nio.file.Paths.get(indexDir, "recall.json")
     if (!java.nio.file.Files.exists(p)) None
     else {
@@ -726,10 +759,12 @@ object SimilarityOps {
           ("\"" + name + "\":(\\d+)").r.findFirstMatchIn(json)
             .map(_.group(1).toLong)
             .getOrElse(sys.error(s"bad recall.json: no $name"))
+        val sample = "\"sample\":\"([0-9a-f]*)\"".r.findFirstMatchIn(json)
+          .map(_.group(1)).getOrElse("")
         val hits = "\\[([^\\]]*)\\]".r.findFirstMatchIn(json)
           .map(_.group(1)).filter(_.nonEmpty)
           .map(_.split(",").map(_.trim.toLong).toSeq).getOrElse(Nil)
-        Some((num("k").toInt, num("queries"), hits))
+        Some((num("k").toInt, num("queries"), hits, sample))
       }
     }
   }
@@ -747,12 +782,21 @@ object SimilarityOps {
       spark: org.apache.spark.sql.SparkSession, index: IvfIndex,
       sample: DataFrame, queries: DataFrame, qidCol: String,
       qvecCol: String, k: Int, targetX1M: Long): DataFrame = {
-    val sampleN = sample.select(col(qidCol)).distinct().count()
-    val (hits, nq) = ivfReadRecall(index.root) match {
-      case Some((pk, pq, ph)) if pk == k && pq == sampleN => (ph, pq)
+    // distinct ids collected ONCE (bounded by the sample size —
+    // replaces the former count() action): the count feeds the reuse
+    // check, the sorted-id hash fences sample IDENTITY (advisor,
+    // round 7 — a different sample of the same size must not silently
+    // tune from a stale curve)
+    val sampleIds = sample.select(col(qidCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val sampleN = sampleIds.length.toLong
+    val sampleTag = ivfSampleTag(sampleIds)
+    val (hits, nq) = ivfReadRecallFull(index.root) match {
+      case Some((pk, pq, ph, ptag))
+          if pk == k && pq == sampleN && ptag == sampleTag => (ph, pq)
       case _ =>
         val (h, n) = ivfRecallHits(spark, index, sample, qidCol, qvecCol, k)
-        ivfWriteRecall(index.root, k, n, h)
+        ivfWriteRecall(index.root, k, n, h, sampleTag)
         (h, n)
     }
     val np = ivfNprobeForRecall(hits, nq, k, targetX1M)

@@ -62,8 +62,11 @@ object StreamingExtract {
     * doc drops when ANY smaller-id batch member sits within the
     * hamming radius — the local-minima rule. It keeps the local minima
     * of the in-batch near graph, which can exceed one survivor per
-    * connected component on hamming CHAINS (a, b, c with a~b, b~c but
-    * not a~c keeps a AND c) — full-closure semantics stay with the
+    * connected component when a component has several local minima
+    * (a, b, c with a~c and b~c but not a~b keeps a AND b: neither has
+    * a smaller-id neighbour; advisor round 7 corrected the old chain
+    * example, where c's smaller-id neighbour b drops c regardless of
+    * b's own fate) — full-closure semantics stay with the
     * batch operators (q33) over the committed output; the guard's job
     * is stopping bursts of near-identical docs from all committing.
     * Accepted fingerprints persist to

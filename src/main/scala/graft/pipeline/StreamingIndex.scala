@@ -185,9 +185,18 @@ object StreamingIndex {
       SimilarityOps.ivfReadGenerationFull(indexDir)
     (0 until gen).foreach(g =>
       SimilarityOps.deleteRecursively(SimilarityOps.ivfCellsPath(indexDir, g)))
-    folded.foreach(t =>
+    folded.foreach { t =>
+      // retire any LINGERING manifest first (advisor, round 7): if the
+      // prior compaction crashed between its pointer swap and manifest
+      // retirement, the folded token's manifest still exists — pruning
+      // the folded list below while it lingers would make a later
+      // ivfLoad list the token as live and resolve a delta dir this
+      // loop just deleted. Mirrors compactImpl's
+      // finish-crashed-compaction step.
+      Files.deleteIfExists(SimilarityOps.ivfDeltaManifestToken(indexDir, t))
       SimilarityOps.deleteRecursively(
-        SimilarityOps.ivfDeltaPathToken(indexDir, t)))
+        SimilarityOps.ivfDeltaPathToken(indexDir, t))
+    }
     // folded list prunes (dirs are gone, nothing can resurrect);
     // maxFoldedEpoch is PRESERVED — it is the one-long permanent
     // backstop that keeps a crashed-epoch replay arriving after this

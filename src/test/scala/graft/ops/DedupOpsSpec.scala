@@ -610,14 +610,26 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(rows(tuned) == rows(SimilarityOps.ivfQueryBatch(
       spark, index, queries, "vec_id", "embedding", k, npChosen)))
     // the query-only fast path REUSES a persisted curve with matching
-    // (k, Q) instead of re-measuring: plant a fake curve that already
-    // meets any target at nprobe 1 — the next call must follow it
+    // (k, Q, sample identity) instead of re-measuring: plant a fake
+    // curve under the REAL sample's tag that already meets any target
+    // at nprobe 1 — the next call must follow it
+    val sampleTag = SimilarityOps.ivfSampleTag(
+      sample.select(col("vec_id").cast("string")).as[String].collect().toSeq)
     SimilarityOps.ivfWriteRecall(s"$root/index", k, nq,
-      Seq.fill(8)(nq * k))
+      Seq.fill(8)(nq * k), sampleTag)
     val tuned2 = SimilarityOps.ivfQueryBatchAtRecall(spark, index,
       sample, queries, "vec_id", "embedding", k, target)
     assert(tuned2.select(col("nprobe")).distinct().as[Int].collect()
       .toSeq == Seq(1))
+    // sample-IDENTITY fence (round 8): the same fake curve planted
+    // under a DIFFERENT sample's tag is NOT reused — the call
+    // re-measures and lands back on the honest choice
+    SimilarityOps.ivfWriteRecall(s"$root/index", k, nq,
+      Seq.fill(8)(nq * k), SimilarityOps.ivfSampleTag(Seq("999")))
+    val tunedX = SimilarityOps.ivfQueryBatchAtRecall(spark, index,
+      sample, queries, "vec_id", "embedding", k, target)
+    assert(tunedX.select(col("nprobe")).distinct().as[Int].collect()
+      .toSeq == Seq(npChosen))
     // staleness fence: an append changes the index's content tag, so
     // the persisted (here: fake) curve no longer reads back and the
     // next tuned call RE-MEASURES over the grown index instead of

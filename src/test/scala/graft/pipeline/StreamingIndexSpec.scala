@@ -261,4 +261,47 @@ class StreamingIndexSpec extends AnyFunSuite {
       folded.toString)
     assert(sq(folded) == before)
   }
+
+  test("rebuild preserves maxFoldedEpoch; vacuum retires lingering folded manifests") {
+    val root = Files.createTempDirectory("graft_sidx_r8").toString
+    val indexDir = s"$root/index"
+    val vrng = new scala.util.Random(41)
+    def randVec(): Array[Float] =
+      Array.fill(16)((vrng.nextDouble() * 2 - 1).toFloat)
+    val emb = (0 until 64).map(i => (i.toLong, randVec()))
+      .toDF("vec_id", "embedding")
+    SimilarityOps.ivfBuild(emb, "vec_id", "embedding", indexDir,
+      centroidEvery = 16, maxCentroids = 4)
+    // simulate a lineage that has already folded epochs up to 7
+    SimilarityOps.ivfWriteGeneration(indexDir, 0, Set.empty, 7L)
+    // rebuild in place: the replay backstop must SURVIVE the reset
+    // (advisor, round 7 — the old reset dropped it to -1)
+    SimilarityOps.ivfBuild(emb, "vec_id", "embedding", indexDir,
+      centroidEvery = 16, maxCentroids = 4)
+    val (gen, folded, maxFolded) =
+      SimilarityOps.ivfReadGenerationFull(indexDir)
+    assert(gen == 0 && folded.isEmpty && maxFolded == 7L,
+      s"($gen, $folded, $maxFolded)")
+
+    // vacuum during the compaction crash window: append a delta, fold
+    // it, then put back its manifest (as a crash between swap and
+    // retirement would leave it) and delete the folded list's knowledge
+    val idx = SimilarityOps.ivfLoad(indexDir)
+    SimilarityOps.ivfAppend(idx,
+      Seq((1000L, randVec())).toDF("vec_id", "embedding"))
+    val before = SimilarityOps.ivfLoad(indexDir)
+    val rowsBefore = SimilarityOps.readCells(spark, before).count()
+    StreamingIndex.compact(spark, indexDir)
+    // re-plant the manifest: the crash-window shape (folded token with
+    // a lingering manifest)
+    Files.writeString(
+      SimilarityOps.ivfDeltaManifestToken(indexDir, "append-0"),
+      """{"token":"append-0","rowCount":1}""")
+    StreamingIndex.vacuum(indexDir)
+    // the lingering manifest is retired with the folded list, so the
+    // reloaded handle neither lists a dead delta nor loses rows
+    val after = SimilarityOps.ivfLoad(indexDir)
+    assert(after.deltas.isEmpty, after.deltas.toString)
+    assert(SimilarityOps.readCells(spark, after).count() == rowsBefore)
+  }
 }
